@@ -1,0 +1,92 @@
+"""Network building blocks.
+
+Flax counterparts of /root/reference/devo/blocks.py: GatedResidual, SoftAgg
+(scatter-softmax attention pooling over patch-graph groups — torch_scatter
+replaced by deterministic segment ops), and the gradient clip/zero autograd
+tricks as custom_vjp identities. LayerNorm eps matches the reference (1e-3
+inside the update operator).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from devo_tpu.ops.graph import segment_softmax_sum
+
+
+@jax.custom_vjp
+def gradient_clip(x):
+    """Identity with clamped backward (devo/blocks.py:74-89): NaN -> 0,
+    grad clamped to [-0.01, 0.01]."""
+    return x
+
+
+def _gc_fwd(x):
+    return x, None
+
+
+def _gc_bwd(_, g):
+    g = jnp.where(jnp.isnan(g), 0.0, g)
+    return (jnp.clip(g, -0.01, 0.01),)
+
+
+gradient_clip.defvjp(_gc_fwd, _gc_bwd)
+
+
+@jax.custom_vjp
+def gradient_zero(x):
+    """Identity; backward zeroes NaNs and grads with |g| > 0.1
+    (devo/blocks.py:91-100)."""
+    return x
+
+
+def _gz_fwd(x):
+    return x, None
+
+
+def _gz_bwd(_, g):
+    g = jnp.where(jnp.isnan(g), 0.0, g)
+    g = jnp.where(jnp.abs(g) > 0.1, 0.0, g)
+    return (g,)
+
+
+gradient_zero.defvjp(_gz_fwd, _gz_bwd)
+
+
+class GatedResidual(nn.Module):
+    """x + sigmoid(W_g x) * MLP(x) (devo/blocks.py:15-29)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        gate = nn.sigmoid(nn.Dense(self.dim, name="gate_0")(x))
+        res = nn.Dense(self.dim, name="res_0")(x)
+        res = nn.relu(res)
+        res = nn.Dense(self.dim, name="res_2")(res)
+        return x + gate * res
+
+
+class SoftAgg(nn.Module):
+    """Softmax attention pooling over graph groups (devo/blocks.py:31-48).
+
+    y_seg = sum_e softmax_seg(g(x))_e * f(x)_e ; output h(y)[seg(e)].
+    Segment ids must be dense in [0, num_segments); masked edges are inert.
+    """
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, segment_ids, num_segments: int, mask):
+        f = nn.Dense(self.dim, name="f")(x)
+        g = nn.Dense(self.dim, name="g")(x)
+        agg, _ = segment_softmax_sum(f, g, segment_ids, num_segments, mask)
+        h = nn.Dense(self.dim, name="h")(agg)
+        return h[segment_ids]
+
+
+class LayerNorm1e3(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=1e-3, name="ln")(x)

@@ -1,0 +1,131 @@
+"""Torch checkpoint importer.
+
+Converts a DEVO/DPVO torch state_dict (e.g. DEVO.pth, ~40 MB,
+/root/reference/README.md:100) into the flax parameter tree of
+devo_tpu.nets.EVONet, reproducing the reference's legacy handling
+(devo/devo.py:111-120: strip 'module.' prefixes, drop 'update.lmbda').
+
+Layout conversions:
+  conv weight   (O, I, kh, kw) -> (kh, kw, I, O)
+  linear weight (O, I)         -> (I, O)
+  norm scale/bias              -> as-is
+
+The mapping below is explicit so a missing/renamed key fails loudly.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _conv(w):
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+
+def _lin(w):
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (1, 0)))
+
+
+def _arr(w):
+    return np.asarray(w)
+
+
+def _encoder_entries(prefix: str, norm_fn: str):
+    """Parameter map for one BasicEncoder4Evs (extractor.py:269-335)."""
+    out = {
+        f"{prefix}.conv1": ("conv1", "conv"),
+        f"{prefix}.conv2": ("conv2", "conv"),
+    }
+    for li, blocks in (("layer1", 2), ("layer2", 2)):
+        for b in range(blocks):
+            t = f"{prefix}.{li}.{b}"
+            f = f"{li}_{b}"
+            out[f"{t}.conv1"] = (f"{f}/conv1", "conv")
+            out[f"{t}.conv2"] = (f"{f}/conv2", "conv")
+            # strided blocks carry a 1x1 downsample conv (Sequential index 0)
+            out[f"{t}.downsample.0"] = (f"{f}/downsample", "conv")
+    return out
+
+
+def _update_entries():
+    m = {}
+    for i in (0, 2, 5):
+        m[f"update.corr.{i}"] = (f"update/corr_{i}", "linear")
+    m["update.corr.3"] = ("update/corr_3", "norm")
+    m["update.norm"] = ("update/norm", "norm")
+    for c in ("c1", "c2"):
+        m[f"update.{c}.0"] = (f"update/{c}_0", "linear")
+        m[f"update.{c}.2"] = (f"update/{c}_2", "linear")
+    for agg in ("agg_kk", "agg_ij"):
+        for p in ("f", "g", "h"):
+            m[f"update.{agg}.{p}"] = (f"update/{agg}/{p}", "linear")
+    m["update.gru.0"] = ("update/gru_0", "norm")
+    m["update.gru.2"] = ("update/gru_2", "norm")
+    for g in (1, 3):
+        m[f"update.gru.{g}.gate.0"] = (f"update/gru_{g}/gate_0", "linear")
+        m[f"update.gru.{g}.res.0"] = (f"update/gru_{g}/res_0", "linear")
+        m[f"update.gru.{g}.res.2"] = (f"update/gru_{g}/res_2", "linear")
+    m["update.d.1"] = ("update/d_1", "linear")
+    m["update.w.1"] = ("update/w_1", "linear")
+    return m
+
+
+def build_mapping():
+    m = {}
+    m.update(_encoder_entries("patchify.fnet", "instance"))
+    m.update(_encoder_entries("patchify.inet", "none"))
+    for i in (0, 2, 4, 6):
+        m[f"patchify.scorer.scorer.{i}"] = (f"patchify/scorer/scorer_{i}", "conv")
+    m.update(_update_entries())
+    return m
+
+
+def _set_nested(tree: Dict, path: str, leaf: str, value):
+    node = tree
+    for part in path.split("/"):
+        node = node.setdefault(part, {})
+    node[leaf] = value
+
+
+def convert_state_dict(state_dict) -> Dict:
+    """torch state_dict (tensors or numpy) -> flax params dict."""
+    sd = {}
+    for k, v in state_dict.items():
+        if "update.lmbda" in k:
+            continue  # dropped by the reference loader (devo.py:118)
+        k = k.replace("module.", "")
+        sd[k] = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    mapping = build_mapping()
+    params: Dict = {}
+    used = set()
+    for tkey, (fpath, kind) in mapping.items():
+        wk, bk = tkey + ".weight", tkey + ".bias"
+        if wk not in sd:
+            continue  # e.g. downsample only exists on strided blocks
+        used.add(wk)
+        if kind == "conv":
+            _set_nested(params, fpath, "kernel", _conv(sd[wk]))
+        elif kind == "linear":
+            _set_nested(params, fpath, "kernel", _lin(sd[wk]))
+        elif kind == "norm":
+            _set_nested(params, fpath, "scale", _arr(sd[wk]))
+        if bk in sd:
+            used.add(bk)
+            _set_nested(params, fpath, "bias", _arr(sd[bk]))
+
+    leftover = [k for k in sd if k not in used]
+    if leftover:
+        raise ValueError(f"unmapped torch keys: {leftover[:10]}"
+                         f"{'...' if len(leftover) > 10 else ''}")
+    return params
+
+
+def load_checkpoint(path: str) -> Dict:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if "model_state_dict" in ckpt:
+        ckpt = ckpt["model_state_dict"]
+    return convert_state_dict(ckpt)
