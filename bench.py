@@ -1,0 +1,68 @@
+"""Benchmark: event-voxel VO throughput on one TPU chip.
+
+Runs the full DEVO tracking engine (patchify CNNs + patch selection +
+recurrent update + bundle adjustment + keyframing) over a synthetic
+EDS-resolution (480x640, 5-bin) event-voxel stream and reports steady-state
+frames/sec. North-star baseline: 60 FPS on one v5e chip
+(/root/repo/BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from devo_tpu.nets.evonet import EVONet
+    from devo_tpu.runtime.config import VOConfig
+    from devo_tpu.runtime.engine import DEVO
+
+    HT, WD = 480, 640
+    N_WARM, N_BENCH = 24, 72
+
+    cfg = VOConfig()
+    net = EVONet(P=cfg.P, dim_inet=cfg.DIM_INET, dim_fnet=cfg.DIM_FNET,
+                 dim=cfg.DIM, patch_selector=cfg.PATCH_SELECTOR)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, HT, WD, 5)), jax.random.PRNGKey(1))["params"]
+
+    # synthetic sliding event texture with real optical flow
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((HT, WD * 2, 5)).astype(np.float32)
+    base *= (rng.random((HT, WD * 2, 5)) < 0.1)
+    intr = np.asarray([320.0, 320.0, WD / 2, HT / 2], np.float32)
+
+    slam = DEVO(cfg, params, ht=HT, wd=WD, seed=0)
+
+    def frame(i):
+        sh = (3 * i) % WD
+        return base[:, sh:sh + WD]
+
+    for i in range(N_WARM):
+        slam(i / 30.0, frame(i), intr)
+    jax.block_until_ready(slam.state.poses)
+
+    t0 = time.perf_counter()
+    for i in range(N_WARM, N_WARM + N_BENCH):
+        slam(i / 30.0, frame(i), intr)
+    jax.block_until_ready(slam.state.poses)
+    dt = time.perf_counter() - t0
+
+    fps = N_BENCH / dt
+    print(json.dumps({
+        "metric": "event_vo_fps_640x480",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 60.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Trajectory metrics: ATE / MPE / rotation RMSE with Sim3 alignment.
+
+Self-contained NumPy replacement for the reference's evo +
+rpg_trajectory_evaluation stack (/root/reference/utils/eval_utils.py:147-166,
+281-299, 346-380): Umeyama similarity alignment (with scale, as in evo's
+`align --correct_scale`), absolute trajectory error RMSE in cm, mean position
+error in %/m of traveled distance, and rotation RMSE in degrees.
+
+Poses are (N, 7) lietorch layout [t, q(xyzw)], camera-to-world, with float
+timestamps; estimated and ground-truth trajectories are associated by
+nearest timestamp (max_diff like evo's association).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def umeyama_alignment(x: np.ndarray, y: np.ndarray, with_scale: bool = True):
+    """Least-squares similarity transform mapping x -> y.
+
+    x, y: (N, 3). Returns (s, R, t) with y ~ s R x + t. (Umeyama, TPAMI 1991;
+    same algorithm evo uses for Sim3 ATE alignment.)
+    """
+    mx = x.mean(0)
+    my = y.mean(0)
+    xc = x - mx
+    yc = y - my
+    cov = yc.T @ xc / x.shape[0]
+    U, d, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    if with_scale:
+        var_x = (xc**2).sum() / x.shape[0]
+        s = float(np.trace(np.diag(d) @ S) / max(var_x, 1e-12))
+    else:
+        s = 1.0
+    t = my - s * R @ mx
+    return s, R, t
+
+
+def quat_to_rot(q: np.ndarray) -> np.ndarray:
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = np.stack([
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+    ], axis=-1)
+    return R.reshape(q.shape[:-1] + (3, 3))
+
+
+def associate(t_est: np.ndarray, t_gt: np.ndarray, max_diff: float = 0.01):
+    """Nearest-timestamp association; returns index pairs (est_idx, gt_idx)."""
+    gi = np.searchsorted(t_gt, t_est)
+    gi = np.clip(gi, 1, len(t_gt) - 1)
+    left = t_gt[gi - 1]
+    right = t_gt[gi]
+    pick = np.where(np.abs(t_est - left) < np.abs(t_est - right), gi - 1, gi)
+    ok = np.abs(t_gt[pick] - t_est) <= max_diff
+    return np.nonzero(ok)[0], pick[ok]
+
+
+@dataclass
+class TrajectoryMetrics:
+    ate: float          # ATE RMSE [cm], Sim3-aligned
+    mpe: float          # mean position error [%/m]
+    r_rmse: float       # rotation RMSE [deg]
+    scale: float        # alignment scale
+    n_pairs: int
+
+
+def ate_real(
+    traj_est: np.ndarray,   # (N, 7) [t, q] c2w
+    tss_est: np.ndarray,    # (N,) seconds
+    traj_gt: np.ndarray,    # (M, 7)
+    tss_gt: np.ndarray,     # (M,) seconds
+    max_diff: float = 0.01,
+    correct_scale: bool = True,
+) -> TrajectoryMetrics:
+    ei, gi = associate(tss_est, tss_gt, max_diff)
+    if len(ei) < 3:
+        return TrajectoryMetrics(float("inf"), float("inf"), float("inf"), 1.0, len(ei))
+
+    p_est = traj_est[ei, :3]
+    p_gt = traj_gt[gi, :3]
+    s, R, t = umeyama_alignment(p_est, p_gt, with_scale=correct_scale)
+    p_al = (s * (R @ p_est.T)).T + t
+
+    err = p_al - p_gt
+    ate_m = float(np.sqrt((err**2).sum(-1).mean()))
+
+    # traveled distance for MPE (%/m) as in rpg_trajectory_evaluation
+    seg = np.linalg.norm(np.diff(p_gt, axis=0), axis=-1)
+    dist = float(seg.sum())
+    mpe = 100.0 * float(np.linalg.norm(err, axis=-1).mean()) / max(dist, 1e-9)
+
+    # rotation RMSE after alignment
+    R_est = quat_to_rot(traj_est[ei, 3:7])
+    R_gt = quat_to_rot(traj_gt[gi, 3:7])
+    R_al = R[None] @ R_est
+    dR = np.einsum("nij,nkj->nik", R_al, R_gt)  # R_al R_gt^T
+    cos = np.clip((np.trace(dR, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
+    ang = np.degrees(np.arccos(cos))
+    r_rmse = float(np.sqrt((ang**2).mean()))
+
+    return TrajectoryMetrics(ate=100.0 * ate_m, mpe=mpe, r_rmse=r_rmse,
+                             scale=s, n_pairs=len(ei))
+
+
+def compute_median_results(results_per_trial):
+    """Median-over-trials aggregation (eval_utils.py:418-452)."""
+    arr = np.asarray([r.ate for r in results_per_trial])
+    order = np.argsort(arr)
+    med = results_per_trial[order[len(order) // 2]]
+    return med, float(np.median(arr))

@@ -1,0 +1,88 @@
+"""Evaluation harness.
+
+Counterpart of /root/reference/utils/eval_utils.py: `run_voxel` drives the
+DEVO engine over a voxel iterator (plus 12 final refinement updates,
+eval_utils.py:127-130), and `evaluate_sequence` aggregates ATE/MPE/R_rmse
+over seeded trials with median selection (eval_utils.py:418-452). Plots and
+per-trial TUM trajectory dumps mirror log_results (eval_utils.py:315-415).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import asdict
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+
+from devo_tpu.runtime.config import VOConfig
+from devo_tpu.runtime.engine import DEVO
+
+from .ate import TrajectoryMetrics, ate_real, compute_median_results
+
+
+def run_voxel(cfg: VOConfig, params, iterator, ht: int, wd: int,
+              seed: int = 0, final_updates: int = 12, timing: bool = False):
+    """Track one sequence; returns (poses (N,7) c2w, tstamps (N,), fps)."""
+    slam = None
+    t_start = None
+    nframes = 0
+    for voxel, intrinsics, tss in iterator:
+        if slam is None:
+            H, W = voxel.shape[-2], voxel.shape[-1]
+            W_eff = W - 2 if W == 346 else W  # MVSEC crop (devo.py:466)
+            slam = DEVO(cfg, params, ht=H, wd=W_eff, seed=seed)
+            t_start = time.perf_counter()
+        vox_hwc = np.transpose(voxel, (1, 2, 0))  # (H, W, bins)
+        slam(tss, vox_hwc, intrinsics)
+        nframes += 1
+
+    if slam is None:
+        raise RuntimeError("empty iterator")
+
+    for _ in range(final_updates):
+        slam.update()
+
+    import jax
+    jax.block_until_ready(slam.state.poses)
+    dt = time.perf_counter() - t_start
+    fps = nframes / dt
+    if timing:
+        print(f"{nframes} frames in {dt:.2f}s -> {fps:.2f} FPS")
+
+    poses, tstamps = slam.terminate()
+    return poses, tstamps, fps
+
+
+def evaluate_sequence(
+    cfg: VOConfig, params, make_iterator: Callable[[], Iterable],
+    traj_gt: np.ndarray, tss_gt: np.ndarray,
+    trials: int = 1, ht: int = 480, wd: int = 640,
+    max_diff_s: float = 0.01, outdir: Optional[str] = None, name: str = "seq",
+):
+    """Seeded multi-trial evaluation; returns (median TrajectoryMetrics,
+    all metrics, fps list)."""
+    results, fps_list = [], []
+    for trial in range(trials):
+        poses, tss, fps = run_voxel(cfg, params, make_iterator(), ht, wd, seed=trial)
+        m = ate_real(poses, tss, traj_gt, tss_gt, max_diff=max_diff_s)
+        results.append(m)
+        fps_list.append(fps)
+        if outdir:
+            os.makedirs(outdir, exist_ok=True)
+            save_tum(os.path.join(outdir, f"{name}_trial{trial}.txt"), poses, tss)
+
+    med, med_ate = compute_median_results(results)
+    if outdir:
+        import json
+        with open(os.path.join(outdir, f"{name}_results.json"), "w") as f:
+            json.dump({"median": asdict(med),
+                       "trials": [asdict(r) for r in results],
+                       "fps": fps_list}, f, indent=2)
+    return med, results, fps_list
+
+
+def save_tum(path: str, poses: np.ndarray, tss: np.ndarray):
+    """TUM-format trajectory export (devo/plot_utils.py:86-91)."""
+    data = np.concatenate([np.asarray(tss)[:, None], poses], axis=1)
+    np.savetxt(path, data, fmt="%.9f")

@@ -124,7 +124,7 @@ class EVONet(nn.Module):
     def __call__(self, voxels, key):
         """Parameter-initialization path only; real entry points are the
         `patchify` / `update` methods via nn.apply(..., method=...)."""
-        out = self.patchify(voxels, key)
+        out = self.patchify(voxels, key, patches_per_image=4)
         E = out["imap"].shape[0] * out["imap"].shape[1]
         dummy = jnp.zeros((E, 2 * 49 * self.P * self.P))
         net = jnp.zeros((E, self.dim_inet))

@@ -50,15 +50,18 @@ class Update(nn.Module):
         net = nn.LayerNorm(epsilon=1e-3, name="norm")(net)
         net = net * m  # keep padded edges at exactly zero state
 
-        # temporal message passing (enet.py:86-91)
+        # temporal message passing (enet.py:86-91). NB: the reference gathers
+        # net[jx] AFTER the c1 residual has updated net — sequential, not
+        # parallel, message passing.
         mask_ix = ((ix >= 0) & mask)[:, None].astype(net.dtype)
         mask_jx = ((jx >= 0) & mask)[:, None].astype(net.dtype)
-        prev = net[jnp.clip(ix, 0, None)] * mask_ix
-        nxt = net[jnp.clip(jx, 0, None)] * mask_jx
 
+        prev = net[jnp.clip(ix, 0, None)] * mask_ix
         h1 = nn.Dense(self.dim, name="c1_0")(prev)
         h1 = nn.relu(h1)
         net = net + nn.Dense(self.dim, name="c1_2")(h1)
+
+        nxt = net[jnp.clip(jx, 0, None)] * mask_jx
         h2 = nn.Dense(self.dim, name="c2_0")(nxt)
         h2 = nn.relu(h2)
         net = net + nn.Dense(self.dim, name="c2_2")(h2)

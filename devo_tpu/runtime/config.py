@@ -1,0 +1,98 @@
+"""Runtime configuration.
+
+Dataclass counterpart of the reference's yacs node
+(/root/reference/devo/config.py) plus the per-benchmark YAML overrides
+(config/default_evs.yaml, config/eval_*.yaml). Extra fields size the static
+TPU buffers (edge capacity, BA window, SoftAgg segment spans) that replace
+the reference's dynamically growing tensors.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class VOConfig:
+    # reference knobs (devo/config.py:6-32; yaml values in comments)
+    BUFFER_SIZE: int = 4096
+    GRADIENT_BIAS: bool = False
+    PATCH_SELECTOR: str = "scorer"
+    SCORER_EVAL_MODE: str = "multi"
+    SCORER_EVAL_USE_GRID: bool = True
+    NORM: str = "std"
+    PATCHES_PER_FRAME: int = 96          # default_evs.yaml: 96 (config.py: 80)
+    REMOVAL_WINDOW: int = 22             # yaml: 22
+    OPTIMIZATION_WINDOW: int = 10        # yaml: 10
+    PATCH_LIFETIME: int = 13             # yaml: 13
+    KEYFRAME_INDEX: int = 4
+    KEYFRAME_THRESH: float = 15.0
+    MOTION_MODEL: str = "DAMPED_LINEAR"
+    MOTION_DAMPING: float = 0.5
+    MIXED_PRECISION: bool = True
+
+    # network shape
+    PATCH_SIZE: int = 3
+    DIM_INET: int = 384
+    DIM_FNET: int = 128
+    DIM: int = 32
+    CORR_RADIUS: int = 3
+    CORR_LEVELS: tuple = (1, 4)
+
+    # TPU static capacities
+    MEM: int = 32                        # feature ring buffer (devo.py:69)
+    EDGE_CAP: int = 0                    # 0 -> auto from the bound below
+
+    def __post_init__(self):
+        if self.EDGE_CAP == 0:
+            # worst-case live edges: patches from the last REMOVAL_WINDOW+2
+            # frames, each with at most 2*PATCH_LIFETIME-1 edges, plus one
+            # freshly appended block before compaction.
+            per_patch = 2 * self.PATCH_LIFETIME - 1
+            bound = self.PATCHES_PER_FRAME * (self.REMOVAL_WINDOW + 2) * per_patch
+            bound += self.PATCHES_PER_FRAME * per_patch
+            object.__setattr__(self, "EDGE_CAP", _round_up(bound, 1024))
+
+    # derived statics
+    @property
+    def M(self) -> int:
+        return self.PATCHES_PER_FRAME
+
+    @property
+    def P(self) -> int:
+        return self.PATCH_SIZE
+
+    @property
+    def ba_window(self) -> int:
+        return max(self.OPTIMIZATION_WINDOW, 8)
+
+    @property
+    def frame_span(self) -> int:
+        """Frame range that live edges can touch, for dense segment ids."""
+        return self.REMOVAL_WINDOW + 4
+
+    @property
+    def patch_slots(self) -> int:
+        return self.frame_span * self.M
+
+    def replace(self, **kw) -> "VOConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# per-benchmark overrides mirroring /root/reference/config/eval_*.yaml
+DEFAULT_EVS = VOConfig()
+EVAL_CONFIGS = {
+    "default": DEFAULT_EVS,                                  # KEYFRAME_THRESH 15
+    "eds": DEFAULT_EVS.replace(KEYFRAME_THRESH=25.0),
+    "fpv": DEFAULT_EVS.replace(KEYFRAME_THRESH=5.0),
+    "rpg": DEFAULT_EVS.replace(KEYFRAME_THRESH=5.0),
+    "hku": DEFAULT_EVS,
+    "mvsec": DEFAULT_EVS.replace(KEYFRAME_THRESH=5.0),
+    "vector": DEFAULT_EVS,
+    "tumvie": DEFAULT_EVS,
+    "tartanair": DEFAULT_EVS,
+}

@@ -33,14 +33,15 @@ def _arr(w):
 
 def _encoder_entries(prefix: str, norm_fn: str):
     """Parameter map for one BasicEncoder4Evs (extractor.py:269-335)."""
+    fprefix = prefix.replace(".", "/")
     out = {
-        f"{prefix}.conv1": ("conv1", "conv"),
-        f"{prefix}.conv2": ("conv2", "conv"),
+        f"{prefix}.conv1": (f"{fprefix}/conv1", "conv"),
+        f"{prefix}.conv2": (f"{fprefix}/conv2", "conv"),
     }
     for li, blocks in (("layer1", 2), ("layer2", 2)):
         for b in range(blocks):
             t = f"{prefix}.{li}.{b}"
-            f = f"{li}_{b}"
+            f = f"{fprefix}/{li}_{b}"
             out[f"{t}.conv1"] = (f"{f}/conv1", "conv")
             out[f"{t}.conv2"] = (f"{f}/conv2", "conv")
             # strided blocks carry a 1x1 downsample conv (Sequential index 0)

@@ -1,0 +1,103 @@
+"""End-to-end smoke tests for the VO engine on synthetic data.
+
+Generates a synthetic event-voxel sequence of a textured moving scene and
+checks the full tracking pipeline: initialization at 8 keyframes, update +
+keyframe cycles, trajectory output shape/finiteness, and static-shape
+stability (no recompilation across frames).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from devo_tpu.nets.evonet import EVONet
+from devo_tpu.runtime.config import VOConfig
+from devo_tpu.runtime.engine import DEVO
+
+HT, WD = 64, 96
+
+TEST_CFG = VOConfig(
+    BUFFER_SIZE=64,
+    PATCHES_PER_FRAME=16,
+    REMOVAL_WINDOW=8,
+    OPTIMIZATION_WINDOW=6,
+    PATCH_LIFETIME=5,
+    KEYFRAME_INDEX=2,
+    KEYFRAME_THRESH=1e-3,   # effectively never remove (motion test small scene)
+    MEM=16,
+    MIXED_PRECISION=False,
+    DIM_INET=64,
+    DIM_FNET=32,
+    DIM=8,
+)
+
+
+def make_params(cfg, seed=0):
+    net = EVONet(P=cfg.P, dim_inet=cfg.DIM_INET, dim_fnet=cfg.DIM_FNET,
+                 dim=cfg.DIM, patch_selector=cfg.PATCH_SELECTOR)
+    vox = jnp.zeros((1, HT, WD, 5))
+    variables = net.init(jax.random.PRNGKey(seed), vox, jax.random.PRNGKey(1))
+    return variables["params"]
+
+
+def synthetic_voxels(n_frames=14, seed=0):
+    """Moving random-texture 'events': shift a sparse random pattern by 2px
+    per frame so there is real optical flow for the probe to see."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((5, HT, WD * 2)).astype(np.float32)
+    base *= (rng.random((5, HT, WD * 2)) < 0.2)
+    for i in range(n_frames):
+        sh = 2 * i
+        yield base[:, :, sh:sh + WD], np.asarray([60.0, 60.0, WD / 2, HT / 2], np.float32), i / 30.0
+
+
+@pytest.fixture(scope="module")
+def engine_run():
+    cfg = TEST_CFG
+    params = make_params(cfg)
+    slam = DEVO(cfg, params, ht=HT, wd=WD, seed=0)
+    for vox, intr, ts in synthetic_voxels():
+        slam(ts, np.transpose(vox, (1, 2, 0)), intr)
+    poses, tss = slam.terminate()
+    return slam, poses, tss
+
+
+def test_engine_tracks_and_terminates(engine_run):
+    slam, poses, tss = engine_run
+    assert poses.shape[1] == 7
+    assert np.isfinite(poses).all()
+    # quaternions stay normalized
+    qn = np.linalg.norm(poses[:, 3:], axis=-1)
+    np.testing.assert_allclose(qn, 1.0, atol=1e-3)
+
+
+def test_engine_initializes(engine_run):
+    slam, poses, tss = engine_run
+    assert bool(slam.state.initialized)
+    assert int(slam.state.n) >= 8
+
+
+def test_engine_edges_valid(engine_run):
+    slam, _, _ = engine_run
+    st = slam.state
+    ne = int(st.n_edges)
+    assert ne > 0
+    mask = np.asarray(st.emask[:ne])
+    ii = np.asarray(st.ii[:ne])[mask]
+    jj = np.asarray(st.jj[:ne])[mask]
+    kk = np.asarray(st.kk[:ne])[mask]
+    n = int(st.n)
+    M = slam.cfg.M
+    assert (ii < n).all() and (jj < n).all()
+    assert (kk // M == ii).all()
+    # packed: no valid edges beyond n_edges
+    assert not np.asarray(st.emask[ne:]).any()
+
+
+def test_engine_poses_move(engine_run):
+    """With real optical flow in the input, BA should produce a non-identity
+    trajectory after init."""
+    slam, poses, tss = engine_run
+    t = poses[:, :3]
+    assert np.abs(t).max() > 1e-4
