@@ -33,6 +33,7 @@ class VOConfig:
     KEYFRAME_THRESH: float = 15.0
     MOTION_MODEL: str = "DAMPED_LINEAR"
     MOTION_DAMPING: float = 0.5
+    MOTION_PROBE_THRESH: float = 2.0     # devo.py:532 (2.0 at scale 1)
     MIXED_PRECISION: bool = True
 
     # network shape

@@ -396,7 +396,7 @@ def make_step(net: EVONet, cfg: VOConfig):
 
             probe_ok = jax.lax.cond(
                 (st.n > 0) & ~st.initialized,
-                lambda s: _motion_probe(net, params, cfg, s) >= 2.0,
+                lambda s: _motion_probe(net, params, cfg, s) >= cfg.MOTION_PROBE_THRESH,
                 lambda s: jnp.asarray(True), st)
 
             def rejected(st):

@@ -1,0 +1,5 @@
+"""Event-voxel evaluation on mvsec (cf. /root/reference/evals/eval_evs/)."""
+from common import main
+
+if __name__ == "__main__":
+    main("mvsec")

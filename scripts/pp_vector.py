@@ -1,0 +1,41 @@
+"""Preprocess vector sequences (VECtor: 480x640 Prophesee (pp_vector.py)).
+
+One-time per-sequence preparation mirroring /root/reference/scripts/pp_vector.py:
+normalizes all timestamps to a common microsecond origin and computes the
+undistortion rectify map consumed by the event-voxel iterators.
+
+Usage: python scripts/pp_vector.py --indir <seq_dir> [--calib <calib.json>]
+The calib JSON must contain {"K": 3x3, "dist": [...]} for the event camera
+(as distributed with the benchmark or produced by its calibration files).
+"""
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from devo_tpu.data.preprocess import preprocess_sequence
+
+H, W = 480, 640
+FISHEYE = False
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--indir", required=True, nargs="+")
+    p.add_argument("--calib", default=None, help="JSON with K (3x3) and dist")
+    args = p.parse_args()
+    for indir in args.indir:
+        calib_path = args.calib or os.path.join(indir, "calib.json")
+        with open(calib_path) as f:
+            calib = json.load(f)
+        K = np.asarray(calib["K"], np.float64).reshape(3, 3)
+        dist = np.asarray(calib.get("dist", [0, 0, 0, 0]), np.float64)
+        off = preprocess_sequence(indir, K, dist, H, W, fisheye=FISHEYE)
+        print(f"{indir}: offset {off} us, rectify map + calib written")
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,7 @@ TEST_CFG = VOConfig(
     PATCH_LIFETIME=5,
     KEYFRAME_INDEX=2,
     KEYFRAME_THRESH=1e-3,   # effectively never remove (motion test small scene)
+    MOTION_PROBE_THRESH=-1.0,  # probe is a learned gate; disable for random weights
     MEM=16,
     MIXED_PRECISION=False,
     DIM_INET=64,
