@@ -12,7 +12,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from devo_tpu.ops.graph import segment_softmax_sum
+from devo_tpu.ops.graph import fast_segment_softmax_sum
 
 
 @jax.custom_vjp
@@ -57,13 +57,14 @@ gradient_zero.defvjp(_gz_fwd, _gz_bwd)
 class GatedResidual(nn.Module):
     """x + sigmoid(W_g x) * MLP(x) (devo/blocks.py:15-29)."""
     dim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        gate = nn.sigmoid(nn.Dense(self.dim, name="gate_0")(x))
-        res = nn.Dense(self.dim, name="res_0")(x)
+        gate = nn.sigmoid(nn.Dense(self.dim, name="gate_0", dtype=self.dtype)(x))
+        res = nn.Dense(self.dim, name="res_0", dtype=self.dtype)(x)
         res = nn.relu(res)
-        res = nn.Dense(self.dim, name="res_2")(res)
+        res = nn.Dense(self.dim, name="res_2", dtype=self.dtype)(res)
         return x + gate * res
 
 
@@ -72,16 +73,23 @@ class SoftAgg(nn.Module):
 
     y_seg = sum_e softmax_seg(g(x))_e * f(x)_e ; output h(y)[seg(e)].
     Segment ids must be dense in [0, num_segments); masked edges are inert.
+    With sorted_ids=True the reduction uses cumsum boundaries (the ids must
+    be ascending with masked rows carrying id == num_segments); otherwise a
+    one-hot MXU matmul — never an XLA scatter.
     """
     dim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, segment_ids, num_segments: int, mask):
-        f = nn.Dense(self.dim, name="f")(x)
-        g = nn.Dense(self.dim, name="g")(x)
-        agg, _ = segment_softmax_sum(f, g, segment_ids, num_segments, mask)
-        h = nn.Dense(self.dim, name="h")(agg)
-        return h[segment_ids]
+    def __call__(self, x, segment_ids, num_segments: int, mask,
+                 sorted_ids: bool = False):
+        f = nn.Dense(self.dim, name="f", dtype=self.dtype)(x)
+        g = nn.Dense(self.dim, name="g", dtype=self.dtype)(x)
+        agg, _ = fast_segment_softmax_sum(
+            f.astype(jnp.float32), g.astype(jnp.float32), segment_ids,
+            num_segments, mask, sorted_ids=sorted_ids)
+        h = nn.Dense(self.dim, name="h", dtype=self.dtype)(agg)
+        return h[jnp.clip(segment_ids, 0, num_segments - 1)]
 
 
 class LayerNorm1e3(nn.Module):

@@ -35,16 +35,17 @@ class ResidualBlock(nn.Module):
     planes: int
     norm_fn: str = "instance"
     stride: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, name="conv1")(x)
+                    padding=1, name="conv1", dtype=self.dtype)(x)
         n1 = make_norm(self.norm_fn, self.planes, "norm1")
         if n1 is not None:
             y = n1(y)
         y = nn.relu(y)
-        y = nn.Conv(self.planes, (3, 3), padding=1, name="conv2")(y)
+        y = nn.Conv(self.planes, (3, 3), padding=1, name="conv2", dtype=self.dtype)(y)
         n2 = make_norm(self.norm_fn, self.planes, "norm2")
         if n2 is not None:
             y = n2(y)
@@ -52,7 +53,7 @@ class ResidualBlock(nn.Module):
 
         if self.stride != 1 or x.shape[-1] != self.planes:
             x = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
-                        name="downsample")(x)
+                        name="downsample", dtype=self.dtype)(x)
             n3 = make_norm(self.norm_fn, self.planes, "norm3")
             if n3 is not None:
                 x = n3(x)
@@ -67,21 +68,23 @@ class BasicEncoder4Evs(nn.Module):
     output_dim: int = 128
     dim: int = 32
     norm_fn: str = "instance"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.dim, (7, 7), strides=(2, 2), padding=3, name="conv1")(x)
+        x = nn.Conv(self.dim, (7, 7), strides=(2, 2), padding=3, name="conv1",
+                    dtype=self.dtype)(x)
         n1 = make_norm(self.norm_fn, self.dim, "norm1")
         if n1 is not None:
             x = n1(x)
         x = nn.relu(x)
 
-        x = ResidualBlock(self.dim, self.norm_fn, 1, name="layer1_0")(x)
-        x = ResidualBlock(self.dim, self.norm_fn, 1, name="layer1_1")(x)
-        x = ResidualBlock(2 * self.dim, self.norm_fn, 2, name="layer2_0")(x)
-        x = ResidualBlock(2 * self.dim, self.norm_fn, 1, name="layer2_1")(x)
+        x = ResidualBlock(self.dim, self.norm_fn, 1, name="layer1_0", dtype=self.dtype)(x)
+        x = ResidualBlock(self.dim, self.norm_fn, 1, name="layer1_1", dtype=self.dtype)(x)
+        x = ResidualBlock(2 * self.dim, self.norm_fn, 2, name="layer2_0", dtype=self.dtype)(x)
+        x = ResidualBlock(2 * self.dim, self.norm_fn, 1, name="layer2_1", dtype=self.dtype)(x)
 
-        return nn.Conv(self.output_dim, (1, 1), name="conv2")(x)
+        return nn.Conv(self.output_dim, (1, 1), name="conv2", dtype=self.dtype)(x)
 
 
 class Scorer(nn.Module):

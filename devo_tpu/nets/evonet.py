@@ -32,12 +32,15 @@ class Patchifier(nn.Module):
     dim_fnet: int = 128
     dim: int = 32
     patch_selector: str = "scorer"
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.fnet = BasicEncoder4Evs(output_dim=self.dim_fnet, dim=self.dim,
-                                     norm_fn="instance", name="fnet")
+                                     norm_fn="instance", name="fnet",
+                                     dtype=self.dtype)
         self.inet = BasicEncoder4Evs(output_dim=self.dim_inet, dim=self.dim,
-                                     norm_fn="none", name="inet")
+                                     norm_fn="none", name="inet",
+                                     dtype=self.dtype)
         if self.patch_selector == "scorer":
             self.scorer = Scorer(bins=5, name="scorer")
 
@@ -53,8 +56,8 @@ class Patchifier(nn.Module):
     ) -> Dict[str, Any]:
         n, H, W, _ = voxels.shape
         P = self.patch_size
-        fmap = self.fnet(voxels) / 4.0     # (n, h, w, dim_fnet)
-        imap = self.inet(voxels) / 4.0     # (n, h, w, dim_inet)
+        fmap = (self.fnet(voxels) / 4.0).astype(jnp.float32)   # (n, h, w, dim_fnet)
+        imap = (self.inet(voxels) / 4.0).astype(jnp.float32)   # (n, h, w, dim_inet)
         h, w = fmap.shape[1:3]
 
         scores_sel = None
@@ -113,13 +116,16 @@ class EVONet(nn.Module):
     dim_fnet: int = 128
     dim: int = 32
     patch_selector: str = "scorer"
+    dtype: jnp.dtype = jnp.float32   # bf16 under mixed precision (devo.py:71-74)
 
     def setup(self):
         self.patchify = Patchifier(
             patch_size=self.P, dim_inet=self.dim_inet, dim_fnet=self.dim_fnet,
-            dim=self.dim, patch_selector=self.patch_selector, name="patchify")
+            dim=self.dim, patch_selector=self.patch_selector, name="patchify",
+            dtype=self.dtype)
         self.update = Update(dim=self.dim_inet,
-                             corr_dim=2 * 49 * self.P * self.P, name="update")
+                             corr_dim=2 * 49 * self.P * self.P, name="update",
+                             dtype=self.dtype)
 
     def __call__(self, voxels, key):
         """Parameter-initialization path only; real entry points are the

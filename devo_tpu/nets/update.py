@@ -2,13 +2,16 @@
 
 Flax counterpart of /root/reference/devo/enet.py:32-99 (`Update`): injects
 context + correlation features into the per-edge hidden state, passes
-temporal messages along each patch's edge chain (the reference's
-fastba.neighbors CPU round-trip becomes an on-device sort, ops/graph.py),
-aggregates over patch groups and frame-pair groups with SoftAgg, runs the
-gated-residual "GRU", and emits the 2D flow correction + confidence weights.
+temporal messages along each patch's edge chain (sequentially, matching the
+reference's in-place semantics at enet.py:90-91), aggregates over patch
+groups and frame-pair groups with SoftAgg, runs the gated-residual "GRU",
+and emits the 2D flow correction + confidence weights.
 
-All edge arrays are fixed-capacity with a validity mask; parameter names
-mirror the torch Sequential indices for checkpoint import.
+All edge arrays are fixed-capacity with a validity mask; when the table is
+sorted by patch id (`kk_sorted=True`, the engine's invariant), neighbor
+lookups come in precomputed and the patch-group aggregation uses the
+cumsum-boundary path. Dense layers run in `dtype` (bf16 under mixed
+precision, devo.py:311); LayerNorms stay f32 like torch autocast.
 """
 from __future__ import annotations
 
@@ -21,6 +24,7 @@ from .blocks import GatedResidual, SoftAgg, gradient_clip
 class Update(nn.Module):
     dim: int = 384          # dim_inet
     corr_dim: int = 882     # 2 * 49 * P*P
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -35,47 +39,51 @@ class Update(nn.Module):
         ij_seg,      # (E,) dense frame-pair-group ids
         nseg_ij: int,
         mask,        # (E,) bool edge validity
+        kk_sorted: bool = False,
     ):
-        m = mask[:, None].astype(net.dtype)
+        dt = self.dtype
+        m = mask[:, None].astype(jnp.float32)
 
         # corr MLP (enet.py:59-66); Sequential indices 0,2,3(LN),5
-        c = nn.Dense(self.dim, name="corr_0")(corr_feat)
+        c = nn.Dense(self.dim, name="corr_0", dtype=dt)(corr_feat.astype(dt))
         c = nn.relu(c)
-        c = nn.Dense(self.dim, name="corr_2")(c)
-        c = nn.LayerNorm(epsilon=1e-3, name="corr_3")(c)
+        c = nn.Dense(self.dim, name="corr_2", dtype=dt)(c)
+        c = nn.LayerNorm(epsilon=1e-3, name="corr_3")(c.astype(jnp.float32))
         c = nn.relu(c)
-        c = nn.Dense(self.dim, name="corr_5")(c)
+        c = nn.Dense(self.dim, name="corr_5", dtype=dt)(c)
 
-        net = net + ctx + c
+        net = net + ctx + c.astype(jnp.float32)
         net = nn.LayerNorm(epsilon=1e-3, name="norm")(net)
         net = net * m  # keep padded edges at exactly zero state
 
         # temporal message passing (enet.py:86-91). NB: the reference gathers
         # net[jx] AFTER the c1 residual has updated net — sequential, not
         # parallel, message passing.
-        mask_ix = ((ix >= 0) & mask)[:, None].astype(net.dtype)
-        mask_jx = ((jx >= 0) & mask)[:, None].astype(net.dtype)
+        mask_ix = ((ix >= 0) & mask)[:, None].astype(jnp.float32)
+        mask_jx = ((jx >= 0) & mask)[:, None].astype(jnp.float32)
 
         prev = net[jnp.clip(ix, 0, None)] * mask_ix
-        h1 = nn.Dense(self.dim, name="c1_0")(prev)
+        h1 = nn.Dense(self.dim, name="c1_0", dtype=dt)(prev)
         h1 = nn.relu(h1)
-        net = net + nn.Dense(self.dim, name="c1_2")(h1)
+        net = net + nn.Dense(self.dim, name="c1_2", dtype=dt)(h1).astype(jnp.float32)
 
         nxt = net[jnp.clip(jx, 0, None)] * mask_jx
-        h2 = nn.Dense(self.dim, name="c2_0")(nxt)
+        h2 = nn.Dense(self.dim, name="c2_0", dtype=dt)(nxt)
         h2 = nn.relu(h2)
-        net = net + nn.Dense(self.dim, name="c2_2")(h2)
+        net = net + nn.Dense(self.dim, name="c2_2", dtype=dt)(h2).astype(jnp.float32)
 
         # soft aggregation over patch id and frame pair (enet.py:93-94)
-        net = net + SoftAgg(self.dim, name="agg_kk")(net, kk_seg, nseg_kk, mask)
-        net = net + SoftAgg(self.dim, name="agg_ij")(net, ij_seg, nseg_ij, mask)
+        net = net + SoftAgg(self.dim, name="agg_kk", dtype=dt)(
+            net, kk_seg, nseg_kk, mask, sorted_ids=kk_sorted).astype(jnp.float32)
+        net = net + SoftAgg(self.dim, name="agg_ij", dtype=dt)(
+            net, ij_seg, nseg_ij, mask).astype(jnp.float32)
 
         # "GRU": 2x (LayerNorm + GatedResidual) (enet.py:52-57)
         net = nn.LayerNorm(epsilon=1e-3, name="gru_0")(net)
-        net = GatedResidual(self.dim, name="gru_1")(net)
-        net = nn.LayerNorm(epsilon=1e-3, name="gru_2")(net)
-        net = GatedResidual(self.dim, name="gru_3")(net)
-        net = net * m
+        net = GatedResidual(self.dim, name="gru_1", dtype=dt)(net)
+        net = nn.LayerNorm(epsilon=1e-3, name="gru_2")(net.astype(jnp.float32))
+        net = GatedResidual(self.dim, name="gru_3", dtype=dt)(net)
+        net = net.astype(jnp.float32) * m
 
         # output heads (enet.py:68-77)
         delta = nn.Dense(2, name="d_1")(nn.relu(net))

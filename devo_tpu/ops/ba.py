@@ -7,19 +7,19 @@ Unifies the reference's two BA implementations into one math core:
     Gauss-Newton with atomicAdd Hessian assembly, Schur complement, Cholesky,
     SE3/depth retraction kernels).
 
-TPU-native design decisions:
-  * atomicAdd scatters -> jax.ops.segment_sum (deterministic; the reference's
-    float atomics are not);
-  * dynamic edge lists -> fixed-capacity arrays + boolean mask. Fixed poses
-    (index < t0) and padded pose/patch slots drop out of the system
-    automatically: their rows/columns accumulate zero and the ep damping
-    (S_diag += ep + lm * S_diag, ba_cuda.cu:517-518) keeps S invertible;
-  * the Schur system is a dense (6N, 6N) matrix with N <= optimization
-    window (<= 12), so the Cholesky runs in f32 on the MXU without blocking.
-
-Pose Jacobians come from geom.projective.transform(jacobian=True); the edge
-residual uses the patch-center pixel only, exactly like the CUDA kernel
-(ba_cuda.cu:254-257).
+TPU-native design:
+  * geometry + Jacobians come from geom/edgewise.py — structure-of-arrays
+    (E,)-shaped intermediates that map onto vector lanes instead of
+    (E, 3, 3, 4) tensors whose tiny trailing dims pad 30x on TPU;
+  * atomicAdd scatters -> one-hot matmuls on the MXU for the pose blocks
+    (<=144 segments) and cumsum-boundary sums for the patch diagonal when
+    the edge table is sorted by patch id (XLA scatter serializes on TPU;
+    both replacements are deterministic, unlike the reference's atomics);
+  * fixed poses (index < t0) and padded slots drop out automatically: their
+    rows accumulate zero and the ep damping (S_diag += ep + lm * S_diag,
+    ba_cuda.cu:517-518) keeps S invertible;
+  * the Schur system is dense (6N, 6N), N <= optimization window (<= 12),
+    solved by f32 Cholesky.
 """
 from __future__ import annotations
 
@@ -27,9 +27,11 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from devo_tpu.geom import projective as pops
+from devo_tpu.geom import edgewise
 from devo_tpu.lie import se3
+from devo_tpu.ops.graph import onehot_segment_sum, sorted_segment_sum
 
 
 class BASystem(NamedTuple):
@@ -40,10 +42,15 @@ class BASystem(NamedTuple):
     u: jnp.ndarray  # (M,)
 
 
+# static lane-index tables for outer products on (E, 36)/(E, 72) arrays
+_I36 = np.repeat(np.arange(6), 6)
+_J36 = np.tile(np.arange(6), 6)
+
+
 def assemble(
-    Ji: jnp.ndarray,      # (E, 2, 6)
-    Jj: jnp.ndarray,      # (E, 2, 6)
-    Jz: jnp.ndarray,      # (E, 2, 1)
+    Ji: jnp.ndarray,      # (E, 12) = [x-row(6), y-row(6)]
+    Jj: jnp.ndarray,      # (E, 12)
+    Jz: jnp.ndarray,      # (E, 2)
     r: jnp.ndarray,       # (E, 2) residual target - proj
     w: jnp.ndarray,       # (E, 2) confidence weights (already gated)
     li: jnp.ndarray,      # (E,) local pose index of frame ii, -1 if fixed
@@ -51,53 +58,74 @@ def assemble(
     pk: jnp.ndarray,      # (E,) local patch slot in [0, M)
     n_poses: int,
     n_patches: int,
+    kk_sorted: bool = False,
 ) -> BASystem:
-    """Accumulate the block Hessian via segment sums (ba_cuda.cu:242-363)."""
-    mi = (li >= 0)
-    mj = (lj >= 0)
-    wi = jnp.where(mi[:, None], w, 0.0)
-    wj = jnp.where(mj[:, None], w, 0.0)
-    wij = jnp.where((mi & mj)[:, None], w, 0.0)
+    """Accumulate the block Hessian without scatters (ba_cuda.cu:242-363)."""
+    mi = li >= 0
+    mj = lj >= 0
+    w0i = jnp.where(mi, w[:, 0], 0.0)
+    w1i = jnp.where(mi, w[:, 1], 0.0)
+    w0j = jnp.where(mj, w[:, 0], 0.0)
+    w1j = jnp.where(mj, w[:, 1], 0.0)
+    w0ij = jnp.where(mi & mj, w[:, 0], 0.0)
+    w1ij = jnp.where(mi & mj, w[:, 1], 0.0)
 
-    def blk(wa, Ja, Jb):  # sum_rows w_r Ja_r (x) Jb_r -> (E, 6, 6)
-        return jnp.einsum("er,eri,erj->eij", wa, Ja, Jb)
+    Jix, Jiy = Ji[:, :6], Ji[:, 6:]
+    Jjx, Jjy = Jj[:, :6], Jj[:, 6:]
 
-    N6 = 6 * n_poses
+    def outer36(wa0, wa1, A, B):
+        # (E, 36) = sum_rows w_r A_r[i] B_r[j]
+        Ax, Ay = A
+        Bx, By = B
+        return (wa0[:, None] * Ax[:, _I36] * Bx[:, _J36]
+                + wa1[:, None] * Ay[:, _I36] * By[:, _J36])
+
     li_c = jnp.clip(li, 0, n_poses - 1)
     lj_c = jnp.clip(lj, 0, n_poses - 1)
-
-    # pose-pose block scatter into (N, N, 6, 6)
     nn = n_poses * n_poses
-    flat = (
-        jax.ops.segment_sum(blk(wi, Ji, Ji), li_c * n_poses + li_c, num_segments=nn)
-        + jax.ops.segment_sum(blk(wij, Ji, Jj), li_c * n_poses + lj_c, num_segments=nn)
-        + jax.ops.segment_sum(blk(wij, Jj, Ji), lj_c * n_poses + li_c, num_segments=nn)
-        + jax.ops.segment_sum(blk(wj, Jj, Jj), lj_c * n_poses + lj_c, num_segments=nn)
-    )
+
+    pairs = jnp.stack([li_c * n_poses + li_c, li_c * n_poses + lj_c,
+                       lj_c * n_poses + li_c, lj_c * n_poses + lj_c])
+    vals = jnp.stack([
+        outer36(w0i, w1i, (Jix, Jiy), (Jix, Jiy)),
+        outer36(w0ij, w1ij, (Jix, Jiy), (Jjx, Jjy)),
+        outer36(w0ij, w1ij, (Jjx, Jjy), (Jix, Jiy)),
+        outer36(w0j, w1j, (Jjx, Jjy), (Jjx, Jjy)),
+    ])
+    flat = onehot_segment_sum(vals.reshape(-1, 36), pairs.reshape(-1), nn)
+    N6 = 6 * n_poses
     B = flat.reshape(n_poses, n_poses, 6, 6).transpose(0, 2, 1, 3).reshape(N6, N6)
 
-    # pose-patch coupling (6N, M)
-    Eik = jnp.einsum("er,eri,er->ei", wi, Ji, Jz[..., 0])
-    Ejk = jnp.einsum("er,eri,er->ei", wj, Jj, Jz[..., 0])
-    pk_c = jnp.clip(pk, 0, n_patches - 1)
-    nm = n_poses * n_patches
-    Eflat = (
-        jax.ops.segment_sum(Eik, li_c * n_patches + pk_c, num_segments=nm)
-        + jax.ops.segment_sum(Ejk, lj_c * n_patches + pk_c, num_segments=nm)
-    )
-    E = Eflat.reshape(n_poses, n_patches, 6).transpose(0, 2, 1).reshape(N6, n_patches)
+    # rhs v (6N,)
+    vi = (w0i * r[:, 0])[:, None] * Jix + (w1i * r[:, 1])[:, None] * Jiy
+    vj = (w0j * r[:, 0])[:, None] * Jjx + (w1j * r[:, 1])[:, None] * Jjy
+    vflat = onehot_segment_sum(jnp.concatenate([vi, vj]),
+                               jnp.concatenate([li_c, lj_c]), n_poses)
+    v = vflat.reshape(N6)
 
-    # patch-patch diagonal + rhs
-    C = jax.ops.segment_sum(jnp.sum(w * Jz[..., 0] ** 2, -1), pk_c, num_segments=n_patches)
-    u = jax.ops.segment_sum(jnp.sum(w * Jz[..., 0] * r, -1), pk_c, num_segments=n_patches)
+    # pose-patch coupling: per-edge 6-vectors expanded by li one-hot into
+    # (E, 6*n_poses) lanes, then patch-segment summed
+    eik = (w0i * Jz[:, 0])[:, None] * Jix + (w1i * Jz[:, 1])[:, None] * Jiy
+    ejk = (w0j * Jz[:, 0])[:, None] * Jjx + (w1j * Jz[:, 1])[:, None] * Jjy
+    oh_i = (li_c[:, None] == jnp.arange(n_poses)[None, :]) & mi[:, None]
+    oh_j = (lj_c[:, None] == jnp.arange(n_poses)[None, :]) & mj[:, None]
+    idx_p = np.repeat(np.arange(n_poses), 6)
+    idx_c = np.tile(np.arange(6), n_poses)
+    Erow = (oh_i.astype(eik.dtype)[:, idx_p] * eik[:, idx_c]
+            + oh_j.astype(ejk.dtype)[:, idx_p] * ejk[:, idx_c])  # (E, 6N)
 
-    vi = jnp.einsum("er,eri->ei", wi * r, Ji)
-    vj = jnp.einsum("er,eri->ei", wj * r, Jj)
-    v = (
-        jax.ops.segment_sum(vi, li_c, num_segments=n_poses)
-        + jax.ops.segment_sum(vj, lj_c, num_segments=n_poses)
-    ).reshape(N6)
+    # patch diagonal + rhs, fused into one segment reduction
+    Cu = jnp.stack([
+        w[:, 0] * Jz[:, 0] ** 2 + w[:, 1] * Jz[:, 1] ** 2,
+        w[:, 0] * Jz[:, 0] * r[:, 0] + w[:, 1] * Jz[:, 1] * r[:, 1],
+    ], axis=-1)  # (E, 2)
 
+    seg = sorted_segment_sum if kk_sorted else onehot_segment_sum
+    pk_ids = pk if kk_sorted else jnp.clip(pk, 0, n_patches - 1)
+    ECu = seg(jnp.concatenate([Erow, Cu], axis=-1), pk_ids, n_patches)
+    E = ECu[:, :N6].T          # (6N, M)
+    C = ECu[:, N6]
+    u = ECu[:, N6 + 1]
     return BASystem(B, E, C, v, u)
 
 
@@ -115,7 +143,6 @@ def schur_solve(
     semantics (devo/ba.py:14-26, devo.py:336-340).
     """
     B, E, C, v, u = sys
-    M = C.shape[0]
     Q = 1.0 / (C + lmbda)  # (M,)
 
     if structure_only:
@@ -124,9 +151,8 @@ def schur_solve(
         return jnp.zeros((B.shape[0] // 6, 6), B.dtype), jnp.where(ok, dZ, 0.0), ok
 
     EQ = E * Q[None, :]
-    S = B - EQ @ E.T
+    S = B - jax.lax.dot(EQ, E.T, precision=jax.lax.Precision.HIGHEST)
     y = v - EQ @ u
-    # damping: diag += ep + lm * diag
     diag = jnp.diagonal(S)
     S = S + jnp.diag(ep + lm * diag)
 
@@ -163,24 +189,23 @@ def gauss_newton_step(
     lm: float,
     structure_only: bool = False,
     depth_clamp: str = "inference",
+    kk_sorted: bool = False,
 ):
     """One Gauss-Newton iteration over the active window.
 
     Mirrors one `itr` of ba_cuda.cu:461-537 (inference) and devo/ba.py:86-182
     (training differs only in gating constants, damping and depth clamping).
     """
-    coords, valid, (Ji, Jj, Jz) = pops.transform(
-        poses, patches, intrinsics, ii, jj, kk, jacobian=True)
-    P = patches.shape[-1]
-    center = coords[:, P // 2, P // 2, :]
-    r = target - center
+    geo = edgewise.reproject(poses, patches, intrinsics, ii, jj, kk, jacobian=True)
+    rx = target[:, 0] - geo.center_x
+    ry = target[:, 1] - geo.center_y
 
-    in_bounds = (
-        (center[:, 0] > bounds[0]) & (center[:, 1] > bounds[1])
-        & (center[:, 0] < bounds[2]) & (center[:, 1] < bounds[3])
-    )
-    gate = (jnp.linalg.norm(r, axis=-1) < max_residual) & in_bounds & (valid > 0)
-    w = jnp.where((gate & mask)[:, None], weight, 0.0)
+    in_bounds = ((geo.center_x > bounds[0]) & (geo.center_y > bounds[1])
+                 & (geo.center_x < bounds[2]) & (geo.center_y < bounds[3]))
+    gate = ((rx * rx + ry * ry < max_residual * max_residual)
+            & in_bounds & (geo.valid > 0) & mask)
+    w = jnp.where(gate[:, None], weight, 0.0)
+    r = jnp.stack([rx, ry], axis=-1)
 
     li = jnp.where((ii >= t0) & (ii < t1), ii - t0, -1).astype(jnp.int32)
     lj = jnp.where((jj >= t0) & (jj < t1), jj - t0, -1).astype(jnp.int32)
@@ -189,8 +214,11 @@ def gauss_newton_step(
     pk = (kk - kbase).astype(jnp.int32)
     slot_ok = (pk >= 0) & (pk < patch_slots)
     w = jnp.where(slot_ok[:, None], w, 0.0)
-
-    sys = assemble(Ji, Jj, Jz, r, w, li, lj, pk, window, patch_slots)
+    if kk_sorted:
+        # masked/out-of-range rows must sort past the last boundary
+        pk = jnp.where(slot_ok & mask, pk, patch_slots)
+    sys = assemble(geo.Ji, geo.Jj, geo.Jz, r, w, li, lj, pk,
+                   window, patch_slots, kk_sorted=kk_sorted)
     dX, dZ, ok = schur_solve(sys, lmbda, ep, lm, structure_only=structure_only)
 
     # pose retraction (ba_cuda.cu:160-188): poses[t0 + i] <- Exp(dX_i) * pose
@@ -201,9 +229,7 @@ def gauss_newton_step(
     poses = poses.at[pose_idx].set(new_rows, mode="drop")
 
     # depth retraction (ba_cuda.cu:191-211 / devo/ba.py:175-177)
-    touched = jax.ops.segment_sum(
-        (w.sum(-1) > 0).astype(jnp.float32), jnp.clip(pk, 0, patch_slots - 1),
-        num_segments=patch_slots) > 0
+    touched = sys.C > 0
     slot_idx = kbase + jnp.arange(patch_slots)
     d_old = patches[slot_idx, 2]  # (patch_slots, P, P)
     d_new = d_old + dZ[:, None, None]
@@ -222,11 +248,12 @@ def run_ba(
     t0, t1, kbase, window: int, patch_slots: int, bounds,
     iterations: int = 2, structure_only=None, max_residual: float = 128.0,
     ep: float = 1.0, lm: float = 1e-4, depth_clamp: str = "inference",
+    kk_sorted: bool = False,
 ):
     """Multi-iteration Gauss-Newton BA (cuda_ba loop, ba_cuda.cu:461-537).
 
     `structure_only` may be a traced bool (the CUDA code switches on
-    t1 - t0 == 0); both branches are computed via the same assembled system.
+    t1 - t0 == 0); both branches share the assembled system.
     """
     if structure_only is None:
         structure_only = (t1 - t0) == 0
@@ -234,21 +261,18 @@ def run_ba(
     def body(carry, _):
         poses_, patches_ = carry
 
-        def full(args):
-            p, q = args
-            return gauss_newton_step(
-                p, q, intrinsics, target, weight, lmbda, ii, jj, kk, mask,
-                t0, t1, kbase, window, patch_slots, bounds, max_residual,
-                ep, lm, structure_only=False, depth_clamp=depth_clamp)[:2]
+        def step(so):
+            def fn(args):
+                p, q = args
+                return gauss_newton_step(
+                    p, q, intrinsics, target, weight, lmbda, ii, jj, kk, mask,
+                    t0, t1, kbase, window, patch_slots, bounds, max_residual,
+                    ep, lm, structure_only=so, depth_clamp=depth_clamp,
+                    kk_sorted=kk_sorted)[:2]
+            return fn
 
-        def struct(args):
-            p, q = args
-            return gauss_newton_step(
-                p, q, intrinsics, target, weight, lmbda, ii, jj, kk, mask,
-                t0, t1, kbase, window, patch_slots, bounds, max_residual,
-                ep, lm, structure_only=True, depth_clamp=depth_clamp)[:2]
-
-        poses_, patches_ = jax.lax.cond(structure_only, struct, full, (poses_, patches_))
+        poses_, patches_ = jax.lax.cond(
+            structure_only, step(True), step(False), (poses_, patches_))
         return (poses_, patches_), None
 
     (poses, patches), _ = jax.lax.scan(body, (poses, patches), None, length=iterations)

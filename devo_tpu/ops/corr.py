@@ -8,16 +8,15 @@ fmap[jj] around the reprojected coordinates, then bilinearly blended down to
 (2r+1)^2.
 
 Output layout matches the reference's flattened ordering exactly
-(correlation_kernel.cu:232 permutes so the x-offset axis precedes the
-y-offset axis): (E, Dx, Dy, P, P) per level, so that
-stack(levels, -1).reshape(E, -1) reproduces the 2*49*P*P corr feature vector
-consumed by the update operator's corr MLP (devo/enet.py:59).
+(correlation_kernel.cu:232 permutes the x-offset axis in front of the
+y-offset axis): flattening yields [dx(7), dy(7), pi(P), pj(P), level], the
+2*49*P*P corr feature consumed by the update operator (devo/enet.py:59).
 
-Strategy: loop over the (2r+2)^2 integer offsets; each step is one gather of
-(E, P, P, C) rows plus a fused multiply-reduce. This keeps peak memory at
-O(E P^2 C) instead of O(E P^2 D^2 C) while generating pure gather/dot HLO
-that XLA pipelines well. A Pallas kernel can replace this hot path without
-changing the interface.
+TPU shape discipline: every intermediate is (E, P*P[, C]) — the patch-pixel
+dim rides the sublanes and the channel dim the lanes, so nothing pads out
+(an (E, 3, 3, C)-style layout would tile-pad ~30x). One gather of
+(E*P*P, C) rows per integer tap; 64 taps per level. XLA keeps the
+multiply-reduce fused into the gather consumer.
 """
 from __future__ import annotations
 
@@ -41,56 +40,55 @@ def corr(
       coords: (E, P, P, 2) reprojected [x, y] at this level's resolution.
       kk:     (E,) int32 patch index into gmap.
       jj:     (E,) int32 frame index into fmap.
-      radius: correlation radius r (output window is (2r+1)^2).
+      radius: correlation radius r.
 
     Returns:
-      (E, 2r+1, 2r+1, P, P) with the first window axis being the x-offset.
+      (E, (2r+1)^2 * P*P) flat correlation, ordered [dx, dy, pi, pj].
     """
     N, H, W, C = fmap.shape
     E, P = coords.shape[0], coords.shape[1]
+    PP = P * P
     D = 2 * radius + 2
+    d = 2 * radius + 1
 
-    g = gmap[kk]  # (E, P, P, C)
+    g = gmap[kk].reshape(E, PP, C)
 
-    x = coords[..., 0]
-    y = coords[..., 1]
+    x = coords[..., 0].reshape(E, PP).astype(jnp.float32)
+    y = coords[..., 1].reshape(E, PP).astype(jnp.float32)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    dx = (x - x0).astype(fmap.dtype)  # (E, P, P)
+    dx = (x - x0).astype(fmap.dtype)  # (E, PP)
     dy = (y - y0).astype(fmap.dtype)
 
     flat = fmap.reshape(N * H * W, C)
-    base = jj.astype(jnp.int32) * (H * W)
+    base = jj.astype(jnp.int32)[:, None] * (H * W)
 
     def tap(di: int, dj: int) -> jnp.ndarray:
-        """Correlation against the integer tap (di, dj) of the D x D grid."""
+        """Integer-grid correlation at tap (di=y-offset, dj=x-offset)."""
         iy = y0 + (di - radius)
         ix = x0 + (dj - radius)
         inb = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
-        idx = base[:, None, None] + jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
-        f = flat[idx.reshape(-1)].reshape(E, P, P, C)
-        s = jnp.sum(g * f, axis=-1)
+        idx = base + jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+        f = flat[idx.reshape(-1)].reshape(E, PP, C)
+        s = jnp.einsum("epc,epc->ep", g, f,
+                       preferred_element_type=jnp.float32)
         return jnp.where(inb, s, 0.0)
 
-    # integer-grid correlations, laid out [y-offset][x-offset]
     grid = [[tap(di, dj) for dj in range(D)] for di in range(D)]
 
-    d = 2 * radius + 1
-    rows = []
-    for di in range(d):
-        row = []
-        for dj in range(d):
-            c00 = grid[di][dj]
-            c01 = grid[di][dj + 1]
-            c10 = grid[di + 1][dj]
-            c11 = grid[di + 1][dj + 1]
-            blended = ((1 - dx) * (1 - dy) * c00 + dx * (1 - dy) * c01
-                       + (1 - dx) * dy * c10 + dx * dy * c11)
-            row.append(blended)
-        rows.append(row)
-    out = jnp.stack([jnp.stack(r, axis=1) for r in rows], axis=1)  # (E, dy, dx, P, P)
-    # reference permutes x-offset in front of y-offset (correlation_kernel.cu:232)
-    return jnp.swapaxes(out, 1, 2)
+    dxf = dx.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+    cols = []
+    # x-offset outer so the flat order is [dx][dy][pixel]
+    for djj in range(d):
+        for dii in range(d):
+            c00 = grid[dii][djj]
+            c01 = grid[dii][djj + 1]
+            c10 = grid[dii + 1][djj]
+            c11 = grid[dii + 1][djj + 1]
+            cols.append((1 - dxf) * (1 - dyf) * c00 + dxf * (1 - dyf) * c01
+                        + (1 - dxf) * dyf * c10 + dxf * dyf * c11)
+    return jnp.concatenate(cols, axis=-1)  # (E, d*d*PP)
 
 
 def corr_pyramid(
@@ -105,7 +103,8 @@ def corr_pyramid(
     """Multi-level correlation feature (devo/enet.py:203-216, devo.py:210-217).
 
     coords is at level-1 resolution; each level divides it by its stride.
-    Returns the flattened (E, L*(2r+1)^2*P*P) feature with reference ordering.
+    Returns the flattened (E, L*(2r+1)^2*P*P) feature with reference ordering
+    [dx, dy, pi, pj, level].
     """
     E = coords.shape[0]
     outs = [

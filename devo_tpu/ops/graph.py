@@ -55,6 +55,86 @@ def neighbors(kk: jnp.ndarray, jj: jnp.ndarray, mask: jnp.ndarray):
     return ix, jx
 
 
+def sorted_neighbors(kk: jnp.ndarray, mask: jnp.ndarray):
+    """Temporal neighbors for an edge table already sorted by (kk, jj):
+    predecessor/successor are simply the adjacent rows when they share kk
+    (replaces the reference's CPU sort, ba.cpp:104-149, with O(E) selects)."""
+    E = kk.shape[0]
+    idx = jnp.arange(E, dtype=jnp.int32)
+    same = (kk[1:] == kk[:-1]) & mask[1:] & mask[:-1]
+    same_prev = jnp.concatenate([jnp.zeros((1,), bool), same])
+    same_next = jnp.concatenate([same, jnp.zeros((1,), bool)])
+    ix = jnp.where(same_prev & mask, idx - 1, -1)
+    jx = jnp.where(same_next & mask, idx + 1, -1)
+    return ix, jx
+
+
+def onehot_segment_sum(
+    values: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
+    mask: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Segment sum as a one-hot matmul: (S, E) @ (E, C).
+
+    XLA scatter-adds serialize on TPU; for small-to-moderate S this MXU
+    matmul is orders of magnitude faster and deterministic.
+    """
+    oh = (segment_ids[None, :] == jnp.arange(num_segments, dtype=segment_ids.dtype)[:, None])
+    oh = oh.astype(values.dtype)
+    if mask is not None:
+        oh = oh * mask[None, :].astype(values.dtype)
+    return jax.lax.dot(oh, values, precision=jax.lax.Precision.HIGHEST)
+
+
+def sorted_segment_sum(
+    values: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
+    mask: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Segment sum for ids already sorted ascending: cumulative sum +
+    boundary differences (no scatter). Masked rows must carry an id >= any
+    valid id (e.g. num_segments) so they fall past the last boundary."""
+    if mask is not None:
+        values = jnp.where(mask[:, None], values, 0.0)
+    c = jnp.cumsum(values.astype(jnp.float32), axis=0)
+    zero = jnp.zeros((1,) + c.shape[1:], c.dtype)
+    c = jnp.concatenate([zero, c], axis=0)  # c[i] = sum of first i rows
+    bounds = jnp.searchsorted(segment_ids, jnp.arange(num_segments + 1,
+                                                      dtype=segment_ids.dtype))
+    return (c[bounds[1:]] - c[bounds[:-1]]).astype(values.dtype)
+
+
+def fast_segment_softmax_sum(
+    values: jnp.ndarray,
+    weights_logits: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: jnp.ndarray,
+    sorted_ids: bool = False,
+):
+    """Scatter-free segment softmax aggregation.
+
+    Per-segment softmax is shift-invariant, so stabilizing with the single
+    GLOBAL max is mathematically exact; the only failure mode is exp
+    underflow for segments whose logits sit ~90 below the global max (the
+    update operator's logits come out of LayerNorm'd features, far inside
+    that range). Sum reductions use cumsum boundaries (sorted ids) or a
+    one-hot matmul — no XLA scatter, which serializes on TPU.
+
+    For sorted_ids=True, masked rows must carry id == num_segments (so they
+    sort past every boundary).
+    """
+    neg = jnp.asarray(-1e30, weights_logits.dtype)
+    logits = jnp.where(mask[:, None], weights_logits, neg)
+    c = jnp.maximum(jnp.max(logits, axis=0, keepdims=True), -1e29)
+    ex = jnp.exp(logits - c)
+    ex = jnp.where(mask[:, None], ex, 0.0)
+    segsum = sorted_segment_sum if sorted_ids else onehot_segment_sum
+    denom = segsum(ex, segment_ids, num_segments)
+    ids_c = jnp.clip(segment_ids, 0, num_segments - 1)
+    w = ex / jnp.maximum(denom[ids_c], 1e-30)
+    agg = segsum(values * w, segment_ids, num_segments)
+    return agg, agg[ids_c]
+
+
 def segment_softmax_sum(
     values: jnp.ndarray,
     weights_logits: jnp.ndarray,

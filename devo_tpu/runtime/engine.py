@@ -6,19 +6,26 @@ lists and per-iteration CPU round-trips (fastba.neighbors). Here the entire
 per-frame tracking step — normalization, patchify CNNs, patch selection,
 motion model, edge appends, the recurrent update + bundle adjustment, and
 keyframing — is one pure function over a fixed-shape `VOState` pytree,
-compiled once by XLA:
+compiled once by XLA.
 
-  * dynamic edge lists      -> fixed-capacity arrays + validity mask,
-                               compacted on device by a stable argsort;
-  * fastba.neighbors on CPU -> on-device sort (ops/graph.neighbors);
-  * keyframe buffer shifts  -> whole-buffer gathers (devo.py:285-303);
-  * feature ring buffers    -> identical mem=32 modular indexing
-                               (devo.py:69-86, 523-527);
-  * control flow            -> lax.cond / fori_loop on device.
+Key data structure: a fixed-capacity edge table kept **packed and sorted by
+(patch id kk, target frame jj)** at all times. Because appends arrive in
+sorted order by construction (each new frame adds one max-jj edge per live
+patch, plus a fresh max-kk block) and removals preserve relative order, the
+invariant is maintained with O(E) cumsum/searchsorted index arithmetic and
+dense gathers — no argsort, no scatter (both serialize on TPU). Sortedness
+then makes every downstream reduction cheap:
 
-The host only feeds voxels and drains a small per-frame aux record (frame
-status + keyframe-removal relative pose) used to reconstruct the full-rate
-trajectory at terminate() (devo.py:186-208).
+  * temporal neighbors = adjacent rows (vs the reference's CPU sort,
+    fastba/ba.cpp:104-149);
+  * SoftAgg patch-groups and the BA patch diagonal = cumsum boundary sums;
+  * BA pose blocks = one-hot matmuls on the MXU;
+  * frame-pair SoftAgg groups = one-hot matmul (<= ~700 groups).
+
+Feature ring buffers (mem = 32, devo.py:69-86), keyframe buffer shifts
+(devo.py:285-303) and all control flow run on device via whole-buffer
+gathers and lax.cond. The host only feeds voxels and drains a small aux
+record per frame to rebuild the full-rate trajectory (devo.py:186-208).
 """
 from __future__ import annotations
 
@@ -30,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from devo_tpu.data.normalize import normalize
+from devo_tpu.geom import edgewise
 from devo_tpu.geom import projective as pops
 from devo_tpu.lie import se3
 from devo_tpu.nets.evonet import EVONet
@@ -38,6 +46,8 @@ from devo_tpu.ops import corr as corr_ops
 from devo_tpu.ops import graph as graph_ops
 
 from .config import VOConfig
+
+INT_MAX = jnp.int32(0x7FFFFFFF)
 
 
 class VOState(NamedTuple):
@@ -54,13 +64,12 @@ class VOState(NamedTuple):
     fmap1: jnp.ndarray        # (mem, h1, w1, Df)
     fmap2: jnp.ndarray        # (mem, h1//4, w1//4, Df)
 
-    # fixed-capacity edge table
+    # packed, (kk, jj)-sorted edge table
     ii: jnp.ndarray           # (E,) i32 source frame
     jj: jnp.ndarray           # (E,) i32 target frame
     kk: jnp.ndarray           # (E,) i32 global patch index (frame*M + slot)
-    emask: jnp.ndarray        # (E,) bool
     enet: jnp.ndarray         # (E, Di) hidden state
-    n_edges: jnp.ndarray      # () i32 packed slot count
+    n_edges: jnp.ndarray      # () i32 packed count; mask == arange < n_edges
 
     # scalars
     n: jnp.ndarray            # () i32 keyframe count
@@ -68,9 +77,13 @@ class VOState(NamedTuple):
     initialized: jnp.ndarray  # () bool
     rng: jax.Array
 
+    @property
+    def emask(self):
+        return jnp.arange(self.ii.shape[0]) < self.n_edges
+
 
 class StepAux(NamedTuple):
-    status: jnp.ndarray     # 0 = skipped, 1 = probe-rejected, 2 = keyframe
+    status: jnp.ndarray      # 0 = skipped, 1 = probe-rejected, 2 = keyframe
     kf_removed: jnp.ndarray  # bool: a keyframe was culled this step
     kf_t0: jnp.ndarray       # () i32 counter stamp of predecessor
     kf_t1: jnp.ndarray       # () i32 counter stamp of removed frame
@@ -96,7 +109,6 @@ def init_state(cfg: VOConfig, ht: int, wd: int, seed: int = 0) -> VOState:
         ii=jnp.zeros((E,), jnp.int32),
         jj=jnp.zeros((E,), jnp.int32),
         kk=jnp.zeros((E,), jnp.int32),
-        emask=jnp.zeros((E,), bool),
         enet=jnp.zeros((E, cfg.DIM_INET), jnp.float32),
         n_edges=jnp.int32(0),
         n=jnp.int32(0),
@@ -106,64 +118,98 @@ def init_state(cfg: VOConfig, ht: int, wd: int, seed: int = 0) -> VOState:
     )
 
 
-# ---------------------------------------------------------------- edge utils
+# ---------------------------------------------------------------- edge table
+
+def _gather_edges(st: VOState, src: jnp.ndarray) -> VOState:
+    return st._replace(ii=st.ii[src], jj=st.jj[src], kk=st.kk[src],
+                       enet=st.enet[src])
+
+
+def _remove_and_pack(st: VOState, drop: jnp.ndarray) -> VOState:
+    """Drop edges and re-pack, preserving order (stable partition via a
+    single prefix-sum + dense gather — no sort)."""
+    keep = st.emask & ~drop
+    src = jnp.where(keep, size=st.ii.shape[0], fill_value=st.ii.shape[0] - 1)[0]
+    st = _gather_edges(st, src.astype(jnp.int32))
+    return st._replace(n_edges=jnp.sum(keep).astype(jnp.int32))
+
+
+def _append_edges(cfg: VOConfig, st: VOState) -> VOState:
+    """Append the new frame's factors while keeping the table sorted+packed
+    (devo.py:361-380, 541-542). Called after n was incremented; the new
+    frame is n-1.
+
+    Forward edges (one per live patch, jj = n-1 = max) merge at each patch
+    segment's end; the backward block (new patches = max kk) appends at the
+    tail. Both positions follow from rank arithmetic on the sorted table.
+    """
+    M, r = cfg.M, cfg.PATCH_LIFETIME
+    E = st.ii.shape[0]
+    n = st.n
+    Ne = st.n_edges
+    Di = st.enet.shape[1]
+
+    kk_key = jnp.where(st.emask, st.kk, INT_MAX)
+
+    # ---- forward edges: patches of frames [n-r, n-1) -> frame n-1
+    F = M * (r - 1)
+    pstart = M * jnp.maximum(n - r, 0)
+    fpatch = pstart + jnp.arange(F, dtype=jnp.int32)
+    fvalid = fpatch < M * (n - 1)           # prefix (fpatch ascending)
+    n_f = jnp.sum(fvalid).astype(jnp.int32)
+    seg_end = jnp.searchsorted(kk_key, fpatch, side="right").astype(jnp.int32)
+    ins_pos = jnp.where(fvalid, seg_end + jnp.arange(F, dtype=jnp.int32), INT_MAX)
+
+    # ---- merge old + forward into positions [0, Ne + n_f)
+    p = jnp.arange(E, dtype=jnp.int32)
+    cnt_before = jnp.searchsorted(ins_pos, p, side="right").astype(jnp.int32)
+    ins_idx = jnp.searchsorted(ins_pos, p, side="left").astype(jnp.int32)
+    is_ins = ins_pos[jnp.clip(ins_idx, 0, F - 1)] == p
+    src_old = jnp.clip(p - cnt_before, 0, E - 1)
+    fsel = jnp.clip(ins_idx, 0, F - 1)
+
+    new_kk = jnp.where(is_ins, fpatch[fsel], st.kk[src_old])
+    new_jj = jnp.where(is_ins, n - 1, st.jj[src_old])
+    new_ii = jnp.where(is_ins, fpatch[fsel] // M, st.ii[src_old])
+    new_net = jnp.where(is_ins[:, None], 0.0, st.enet[src_old])
+    N1 = Ne + n_f
+
+    # ---- backward block: patches of frame n-1 x frames [max(n-r,0), n)
+    B = M * r
+    fstart = jnp.maximum(n - r, 0)
+    s = n - fstart                                # valid span (traced)
+    q = jnp.arange(B, dtype=jnp.int32)
+    row = q // jnp.maximum(s, 1)
+    col = q % jnp.maximum(s, 1)
+    bvalid = q < M * s
+    kk_b = M * (n - 1) + jnp.clip(row, 0, M - 1)
+    jj_b = fstart + col
+    n_b = jnp.sum(bvalid).astype(jnp.int32)
+
+    # place backward block at [N1, N1 + n_b)
+    bpos = p - N1
+    in_b = (bpos >= 0) & (bpos < n_b)
+    bsel = jnp.clip(bpos, 0, B - 1)
+    new_kk = jnp.where(in_b, kk_b[bsel], new_kk)
+    new_jj = jnp.where(in_b, jj_b[bsel], new_jj)
+    new_ii = jnp.where(in_b, n - 1, new_ii)
+    new_net = jnp.where(in_b[:, None], 0.0, new_net)
+
+    return st._replace(ii=new_ii, jj=new_jj, kk=new_kk, enet=new_net,
+                       n_edges=N1 + n_b)
+
 
 def _segment_ids(cfg: VOConfig, st: VOState):
     """Dense group ids for SoftAgg over live edges (update operator)."""
     span = cfg.frame_span
     tmin = jnp.maximum(st.n - span, 0)
     kbase = tmin * cfg.M
-    kk_seg = jnp.clip(st.kk - kbase, 0, cfg.patch_slots - 1)
-    ij_seg = jnp.clip(st.ii - tmin, 0, span - 1) * span + jnp.clip(st.jj - tmin, 0, span - 1)
-    return kk_seg, cfg.patch_slots, ij_seg, span * span, tmin, kbase
-
-
-def _compact_edges(st: VOState) -> VOState:
-    """Stable-partition live edges to the front of the table."""
-    order = jnp.argsort(~st.emask, stable=True)
-    return st._replace(
-        ii=st.ii[order], jj=st.jj[order], kk=st.kk[order],
-        emask=st.emask[order], enet=st.enet[order],
-        n_edges=jnp.sum(st.emask).astype(jnp.int32),
-    )
-
-
-def _append_edges(cfg: VOConfig, st: VOState) -> VOState:
-    """Append forward+backward factor blocks for the newly accepted frame
-    (devo.py:361-380, 541-542). Called after n has been incremented; the new
-    frame is n-1."""
-    M, r = cfg.M, cfg.PATCH_LIFETIME
-    n = st.n
-
-    # forward: patches of frames [n-r, n-1) -> new frame n-1
-    kk_start = M * jnp.maximum(n - r, 0)
-    kf = kk_start + jnp.arange(M * (r - 1), dtype=jnp.int32)
-    vf = kf < M * (n - 1)
-    jf = jnp.full_like(kf, n - 1)
-
-    # backward: patches of frame n-1 -> frames [max(n-r,0), n)
-    fstart = jnp.maximum(n - r, 0)
-    row = jnp.arange(M * r, dtype=jnp.int32) // r
-    col = jnp.arange(M * r, dtype=jnp.int32) % r
-    kb = M * (n - 1) + row
-    jb = fstart + col
-    vb = jb < n
-
-    kk_new = jnp.concatenate([kf, kb])
-    jj_new = jnp.concatenate([jf, jb])
-    vv_new = jnp.concatenate([vf, vb])
-    ii_new = kk_new // M
-    B = kk_new.shape[0]
-
-    e0 = st.n_edges
-    upd = lambda buf, val: jax.lax.dynamic_update_slice(buf, val, (e0,))
-    return st._replace(
-        ii=upd(st.ii, ii_new), jj=upd(st.jj, jj_new), kk=upd(st.kk, kk_new),
-        emask=upd(st.emask, vv_new),
-        enet=jax.lax.dynamic_update_slice(
-            st.enet, jnp.zeros((B, st.enet.shape[1]), st.enet.dtype), (e0, 0)),
-        n_edges=e0 + B,
-    )
+    mask = st.emask
+    kk_seg = jnp.where(mask, jnp.clip(st.kk - kbase, 0, cfg.patch_slots - 1),
+                       cfg.patch_slots)
+    ij_seg = (jnp.clip(st.ii - tmin, 0, span - 1) * span
+              + jnp.clip(st.jj - tmin, 0, span - 1))
+    return kk_seg, ij_seg, tmin, kbase
 
 
 # ------------------------------------------------------------------- update
@@ -171,8 +217,9 @@ def _append_edges(cfg: VOConfig, st: VOState) -> VOState:
 def _edge_features(cfg: VOConfig, st: VOState, ii, jj, kk):
     """Reproject + 2-level correlation + context for a set of edges
     (devo.py:210-223, 308-314)."""
-    M, mem = cfg.M, cfg.MEM
-    coords = pops.transform(st.poses, st.patches, st.intrinsics, ii, jj, kk)
+    M, mem, P = cfg.M, cfg.MEM, cfg.P
+    geo = edgewise.reproject(st.poses, st.patches, st.intrinsics, ii, jj, kk)
+    coords = edgewise.coords_to_corr_format(geo, P)
     kk_ring = (kk % (M * mem)).astype(jnp.int32)
     jj_ring = (jj % mem).astype(jnp.int32)
     cdtype = st.gmap.dtype
@@ -180,41 +227,41 @@ def _edge_features(cfg: VOConfig, st: VOState, ii, jj, kk):
         st.gmap, (st.fmap1, st.fmap2), coords.astype(cdtype), kk_ring, jj_ring,
         radius=cfg.CORR_RADIUS, levels=cfg.CORR_LEVELS)
     ctx = st.imap[kk_ring]
-    return coords, corr_feat.astype(jnp.float32), ctx.astype(jnp.float32)
+    return geo, corr_feat.astype(jnp.float32), ctx.astype(jnp.float32)
 
 
 def _update_once(net: EVONet, params, cfg: VOConfig, st: VOState) -> VOState:
     """One tracking update: reproject -> corr -> recurrent update -> 2 GN
     iterations of BA (devo.py:308-344)."""
-    coords, corr_feat, ctx = _edge_features(cfg, st, st.ii, st.jj, st.kk)
+    mask = st.emask
+    geo, corr_feat, ctx = _edge_features(cfg, st, st.ii, st.jj, st.kk)
 
-    ixn, jxn = graph_ops.neighbors(st.kk, st.jj, st.emask)
-    kk_seg, nseg_kk, ij_seg, nseg_ij, tmin, kbase = _segment_ids(cfg, st)
+    ixn, jxn = graph_ops.sorted_neighbors(st.kk, mask)
+    kk_seg, ij_seg, tmin, kbase = _segment_ids(cfg, st)
 
     enet, delta, weight = net.apply(
         {"params": params}, st.enet, ctx, corr_feat, ixn, jxn,
-        kk_seg, nseg_kk, ij_seg, nseg_ij, st.emask,
-        method=EVONet.run_update)
+        kk_seg, cfg.patch_slots, ij_seg, cfg.frame_span ** 2, mask,
+        method=EVONet.run_update, kk_sorted=True)
 
-    P = cfg.P
-    target = coords[:, P // 2, P // 2, :] + delta
-    weight = jnp.where(st.emask[:, None], weight, 0.0)
+    target = jnp.stack([geo.center_x, geo.center_y], -1) + delta
+    weight = jnp.where(mask[:, None], weight, 0.0)
 
     t0 = jnp.where(st.initialized,
                    jnp.maximum(st.n - cfg.OPTIMIZATION_WINDOW, 1), 1)
     t0 = jnp.maximum(t0, 1).astype(jnp.int32)
 
-    fx_cx = st.intrinsics[jnp.maximum(st.n - 1, 0)]
-    bounds = jnp.asarray([-64.0, -64.0, 0.0, 0.0]).at[2].set(
-        2 * fx_cx[2] + 64).at[3].set(2 * fx_cx[3] + 64)
+    intr_n = st.intrinsics[jnp.maximum(st.n - 1, 0)]
+    bounds = jnp.stack([jnp.float32(-64.0), jnp.float32(-64.0),
+                        2 * intr_n[2] + 64, 2 * intr_n[3] + 64])
 
     poses, patches = ba_ops.run_ba(
         st.poses, st.patches, st.intrinsics, target, weight,
-        jnp.float32(1e-4), st.ii, st.jj, st.kk, st.emask,
+        jnp.float32(1e-4), st.ii, st.jj, st.kk, mask,
         t0=t0, t1=st.n, kbase=kbase, window=cfg.ba_window,
         patch_slots=cfg.patch_slots, bounds=bounds, iterations=2,
         structure_only=jnp.asarray(False), max_residual=128.0,
-        ep=1.0, lm=1e-4, depth_clamp="inference")
+        ep=1.0, lm=1e-4, depth_clamp="inference", kk_sorted=True)
 
     return st._replace(poses=poses, patches=patches, enet=enet)
 
@@ -226,7 +273,7 @@ def _motion_probe(net: EVONet, params, cfg: VOConfig, st: VOState):
     kk = (st.n - 1) * M + jnp.arange(M, dtype=jnp.int32)
     jj = jnp.full((M,), st.n, jnp.int32)
     ii = jnp.full((M,), st.n - 1, jnp.int32)
-    coords, corr_feat, ctx = _edge_features(cfg, st, ii, jj, kk)
+    geo, corr_feat, ctx = _edge_features(cfg, st, ii, jj, kk)
 
     enet0 = jnp.zeros((M, cfg.DIM_INET), jnp.float32)
     mask = jnp.ones((M,), bool)
@@ -235,20 +282,23 @@ def _motion_probe(net: EVONet, params, cfg: VOConfig, st: VOState):
     ij_seg = jnp.zeros((M,), jnp.int32)
     _, delta, _ = net.apply(
         {"params": params}, enet0, ctx, corr_feat, ixn, ixn,
-        kk_seg, M, ij_seg, 1, mask, method=EVONet.run_update)
+        kk_seg, M, ij_seg, 1, mask, method=EVONet.run_update, kk_sorted=True)
     return jnp.quantile(jnp.linalg.norm(delta, axis=-1), 0.5)
 
 
 # ----------------------------------------------------------------- keyframe
 
 def _motionmag(cfg: VOConfig, st: VOState, i, j):
-    """Mean flow magnitude over edges (i -> j) (devo.py:258-265)."""
-    k = (st.ii == i) & (st.jj == j) & st.emask
-    fm = pops.flow_mag(st.poses, st.patches, st.intrinsics,
-                       st.ii, st.jj, st.kk, beta=0.5)  # (E, P, P)
-    fm_edge = fm.mean(axis=(1, 2))
-    cnt = jnp.sum(k)
-    return jnp.where(cnt > 0, jnp.sum(fm_edge * k) / jnp.maximum(cnt, 1), 0.0)
+    """Mean flow magnitude over edges (i -> j) (devo.py:258-265), computed
+    on the <= M matching edges only (gathered via fixed-size nonzero)."""
+    M = cfg.M
+    sel = (st.ii == i) & (st.jj == j) & st.emask
+    idx = jnp.where(sel, size=M, fill_value=0)[0]
+    found = sel[idx]
+    fm = edgewise.flow_mag_edges(st.poses, st.patches, st.intrinsics,
+                                 st.ii[idx], st.jj[idx], st.kk[idx], beta=0.5)
+    cnt = jnp.sum(found)
+    return jnp.where(cnt > 0, jnp.sum(fm * found) / jnp.maximum(cnt, 1), 0.0)
 
 
 def _shift_ring(buf: jnp.ndarray, n, k, mem: int):
@@ -263,15 +313,17 @@ def _shift_ring(buf: jnp.ndarray, n, k, mem: int):
 
 def _remove_keyframe(cfg: VOConfig, st: VOState, k) -> VOState:
     """Cull keyframe k: drop its edges, shift indices and buffers down
-    (devo.py:279-303)."""
+    (devo.py:279-303). Index shifts preserve the sort order."""
     M, mem = cfg.M, cfg.MEM
     N = cfg.BUFFER_SIZE
 
-    drop = (st.ii == k) | (st.jj == k)
-    emask = st.emask & ~drop
-    ii = jnp.where(st.ii > k, st.ii - 1, st.ii)
-    jj = jnp.where(st.jj > k, st.jj - 1, st.jj)
-    kk = jnp.where(st.kk // M > k, st.kk - M, st.kk)
+    drop = ((st.ii == k) | (st.jj == k)) & st.emask
+    st = st._replace(
+        ii=jnp.where(st.ii > k, st.ii - 1, st.ii),
+        jj=jnp.where(st.jj > k, st.jj - 1, st.jj),
+        kk=jnp.where(st.kk // M > k, st.kk - M, st.kk),
+    )
+    st = _remove_and_pack(st, drop)
 
     fidx = jnp.arange(N)
     fsrc = jnp.where(fidx >= k, jnp.minimum(fidx + 1, N - 1), fidx)
@@ -279,7 +331,6 @@ def _remove_keyframe(cfg: VOConfig, st: VOState, k) -> VOState:
     psrc = jnp.where(pidx >= k * M, jnp.minimum(pidx + M, N * M - 1), pidx)
 
     return st._replace(
-        ii=ii, jj=jj, kk=kk, emask=emask,
         tstamps=st.tstamps[fsrc], poses=st.poses[fsrc],
         intrinsics=st.intrinsics[fsrc], colors=st.colors[fsrc],
         patches=st.patches[psrc],
@@ -307,9 +358,8 @@ def _keyframe(cfg: VOConfig, st: VOState) -> Tuple[VOState, Dict[str, jnp.ndarra
     st = jax.lax.cond(remove, lambda s: _remove_keyframe(cfg, s, k), lambda s: s, st)
 
     # purge edges beyond the removal window (devo.py:305-306)
-    purge = (st.kk // cfg.M) < (st.n - cfg.REMOVAL_WINDOW)
-    st = st._replace(emask=st.emask & ~purge)
-    st = _compact_edges(st)
+    purge = ((st.kk // cfg.M) < (st.n - cfg.REMOVAL_WINDOW)) & st.emask
+    st = _remove_and_pack(st, purge)
 
     aux = dict(kf_removed=remove, kf_t0=t0, kf_t1=t1, kf_dP=dP)
     return st, aux
@@ -449,7 +499,8 @@ class DEVO:
     def __init__(self, cfg: VOConfig, params, ht=480, wd=640, seed=0):
         self.cfg = cfg
         self.net = EVONet(P=cfg.P, dim_inet=cfg.DIM_INET, dim_fnet=cfg.DIM_FNET,
-                          dim=cfg.DIM, patch_selector=cfg.PATCH_SELECTOR)
+                          dim=cfg.DIM, patch_selector=cfg.PATCH_SELECTOR,
+                          dtype=jnp.bfloat16 if cfg.MIXED_PRECISION else jnp.float32)
         self.params = params
         self.state = init_state(cfg, ht, wd, seed)
         self.step_fn = make_step(self.net, cfg)
@@ -462,7 +513,7 @@ class DEVO:
     def __call__(self, tstamp, voxel, intrinsics):
         """voxel: (H, W, bins) numpy/jax array; intrinsics: (4,)."""
         if voxel.shape[-2] == 346:  # MVSEC/FPV width hack (devo.py:466-467)
-            voxel = voxel[..., :, 1:-1, :] if voxel.ndim == 3 else voxel
+            voxel = voxel[:, 1:-1, :]
         st, aux = self.step_fn(self.params, self.state,
                                jnp.asarray(voxel, jnp.float32),
                                jnp.asarray(intrinsics, jnp.float32))

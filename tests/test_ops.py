@@ -105,8 +105,8 @@ def test_corr_matches_naive():
     got = np.asarray(corr_ops.corr(
         jnp.asarray(gmap), jnp.asarray(fmap), jnp.asarray(coords),
         jnp.asarray(kk, jnp.int32), jnp.asarray(jj, jnp.int32), radius=3))
-    want = naive_corr(gmap, fmap, coords, kk, jj, 3)
-    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    want = naive_corr(gmap, fmap, coords, kk, jj, 3)  # (E, dx, dy, pi, pj)
+    np.testing.assert_allclose(got, want.reshape(E, -1), atol=1e-4, rtol=1e-4)
 
 
 def naive_neighbors(kk, jj, mask):
