@@ -111,6 +111,34 @@ def ate_real(
                              scale=s, n_pairs=len(ei))
 
 
+def rpe(
+    traj_est: np.ndarray, tss_est: np.ndarray,
+    traj_gt: np.ndarray, tss_gt: np.ndarray,
+    delta: int = 1, max_diff: float = 0.01,
+):
+    """Relative pose error over frame-delta pairs (counterpart of the
+    reference's scripts/evaluate_rpe.py, TUM-RGBD style): translational RMSE
+    [m per delta] and rotational RMSE [deg per delta]."""
+    ei, gi = associate(tss_est, tss_gt, max_diff)
+    if len(ei) < delta + 2:
+        return float("inf"), float("inf")
+    Pe = np.tile(np.eye(4), (len(ei), 1, 1))
+    Pg = np.tile(np.eye(4), (len(gi), 1, 1))
+    Pe[:, :3, :3] = quat_to_rot(traj_est[ei, 3:7])
+    Pe[:, :3, 3] = traj_est[ei, :3]
+    Pg[:, :3, :3] = quat_to_rot(traj_gt[gi, 3:7])
+    Pg[:, :3, 3] = traj_gt[gi, :3]
+
+    def rel(P):
+        return np.linalg.inv(P[:-delta]) @ P[delta:]
+
+    E = np.linalg.inv(rel(Pg)) @ rel(Pe)
+    t_err = np.linalg.norm(E[:, :3, 3], axis=-1)
+    cos = np.clip((np.trace(E[:, :3, :3], axis1=1, axis2=2) - 1) / 2, -1, 1)
+    r_err = np.degrees(np.arccos(cos))
+    return float(np.sqrt((t_err**2).mean())), float(np.sqrt((r_err**2).mean()))
+
+
 def compute_median_results(results_per_trial):
     """Median-over-trials aggregation (eval_utils.py:418-452)."""
     arr = np.asarray([r.ate for r in results_per_trial])

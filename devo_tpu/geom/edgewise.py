@@ -79,8 +79,16 @@ def reproject(
     """Reproject patches kk from frame ii into jj; optionally with the
     analytic center-pixel Jacobians (pops.transform semantics)."""
     E = ii.shape[0]
-    P = patches.shape[-1]
-    PP = P * P
+    # patches may be the generic (Mp, 3, P, P) layout or the engine's flat
+    # (Mp, 3*P*P) table (tiny trailing dims tile-pad ~30x on TPU, so the
+    # runtime stores patches flat)
+    if patches.ndim == 4:
+        P = patches.shape[-1]
+        PP = P * P
+        flat_patches = patches.reshape(patches.shape[0], 3 * PP)
+    else:
+        PP = patches.shape[-1] // 3
+        flat_patches = patches
 
     ti, qi = _gather_pose(poses, ii)
     tj, qj = _gather_pose(poses, jj)
@@ -91,10 +99,10 @@ def reproject(
     fx_i, fy_i, cx_i, cy_i = intr_i[:, 0], intr_i[:, 1], intr_i[:, 2], intr_i[:, 3]
     fx_j, fy_j, cx_j, cy_j = intr_j[:, 0], intr_j[:, 1], intr_j[:, 2], intr_j[:, 3]
 
-    pk = patches[kk]                       # (E, 3, P, P) single gather
-    px = pk[:, 0].reshape(E, PP)           # (E, PP)
-    py = pk[:, 1].reshape(E, PP)
-    pd = pk[:, 2].reshape(E, PP)
+    pk = flat_patches[kk]                  # (E, 3*PP) single gather
+    px = pk[:, :PP]                        # (E, PP)
+    py = pk[:, PP:2 * PP]
+    pd = pk[:, 2 * PP:]
 
     # back-project (iproj), transform (act4), project — all on (E, PP)
     xn = (px - cx_i[:, None]) / fx_i[:, None]
@@ -184,10 +192,11 @@ def flow_mag_edges(
     tij, qij = _rel_pose(ti, qi, tj, qj)
     intr_i = intrinsics[ii]
     intr_j = intrinsics[jj]
-    pk = patches[kk]
-    px = pk[:, 0].reshape(E, P2)
-    py = pk[:, 1].reshape(E, P2)
-    pd = pk[:, 2].reshape(E, P2)
+    fp = patches.reshape(patches.shape[0], -1) if patches.ndim == 4 else patches
+    pk = fp[kk]
+    px = pk[:, :P2]
+    py = pk[:, P2:2 * P2]
+    pd = pk[:, 2 * P2:]
     xn = (px - intr_i[:, 2:3]) / intr_i[:, 0:1]
     yn = (py - intr_i[:, 3:4]) / intr_i[:, 1:2]
     X = xn + tij[0][:, None] * pd

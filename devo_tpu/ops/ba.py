@@ -228,18 +228,30 @@ def gauss_newton_step(
     new_rows = jnp.where(upd_mask, pose_upd, poses[pose_idx])
     poses = poses.at[pose_idx].set(new_rows, mode="drop")
 
-    # depth retraction (ba_cuda.cu:191-211 / devo/ba.py:175-177)
+    # depth retraction (ba_cuda.cu:191-211 / devo/ba.py:175-177); supports
+    # both the generic (Mp, 3, P, P) layout and the runtime's flat (Mp, 3PP)
     touched = sys.C > 0
     slot_idx = kbase + jnp.arange(patch_slots)
-    d_old = patches[slot_idx, 2]  # (patch_slots, P, P)
-    d_new = d_old + dZ[:, None, None]
+    if patches.ndim == 4:
+        d_old = patches[slot_idx, 2]            # (patch_slots, P, P)
+        dz = dZ[:, None, None]
+        t = touched[:, None, None]
+    else:
+        PP = patches.shape[-1] // 3
+        d_old = patches[slot_idx, 2 * PP:]      # (patch_slots, PP)
+        dz = dZ[:, None]
+        t = touched[:, None]
+    d_new = d_old + dz
     if depth_clamp == "inference":
         d_new = jnp.where(d_new > 20.0, 1.0, d_new)
         d_new = jnp.maximum(d_new, 1e-4)
     else:  # training (devo/ba.py:176)
         d_new = jnp.clip(d_new, 1e-3, 10.0)
-    d_new = jnp.where(touched[:, None, None], d_new, d_old)
-    patches = patches.at[slot_idx, 2].set(d_new, mode="drop")
+    d_new = jnp.where(t, d_new, d_old)
+    if patches.ndim == 4:
+        patches = patches.at[slot_idx, 2].set(d_new, mode="drop")
+    else:
+        patches = patches.at[slot_idx, 2 * PP:].set(d_new, mode="drop")
     return poses, patches, ok
 
 

@@ -43,6 +43,7 @@ from devo_tpu.lie import se3
 from devo_tpu.nets.evonet import EVONet
 from devo_tpu.ops import ba as ba_ops
 from devo_tpu.ops import corr as corr_ops
+from devo_tpu.ops import corr_pallas
 from devo_tpu.ops import graph as graph_ops
 
 from .config import VOConfig
@@ -54,7 +55,8 @@ class VOState(NamedTuple):
     # frame buffers (N = BUFFER_SIZE)
     tstamps: jnp.ndarray      # (N,) i32 frame-counter values
     poses: jnp.ndarray        # (N, 7) f32 world-to-camera
-    patches: jnp.ndarray      # (N*M, 3, P, P) f32
+    patches: jnp.ndarray      # (N*M, 3*P*P) f32, flat [x(PP), y(PP), d(PP)]
+                              # (a (.,3,P,P) layout tile-pads ~30x on TPU)
     intrinsics: jnp.ndarray   # (N, 4) f32 (feature-resolution)
     colors: jnp.ndarray       # (N, M) f32 event magnitude for viz
 
@@ -99,7 +101,7 @@ def init_state(cfg: VOConfig, ht: int, wd: int, seed: int = 0) -> VOState:
     return VOState(
         tstamps=jnp.zeros((N,), jnp.int32),
         poses=poses,
-        patches=jnp.zeros((N * M, 3, P, P), jnp.float32),
+        patches=jnp.zeros((N * M, 3 * P * P), jnp.float32),
         intrinsics=jnp.zeros((N, 4), jnp.float32),
         colors=jnp.zeros((N, M), jnp.float32),
         imap=jnp.zeros((mem * M, cfg.DIM_INET), fdt),
@@ -214,7 +216,7 @@ def _segment_ids(cfg: VOConfig, st: VOState):
 
 # ------------------------------------------------------------------- update
 
-def _edge_features(cfg: VOConfig, st: VOState, ii, jj, kk):
+def _edge_features(cfg: VOConfig, st: VOState, ii, jj, kk, mask=None):
     """Reproject + 2-level correlation + context for a set of edges
     (devo.py:210-223, 308-314)."""
     M, mem, P = cfg.M, cfg.MEM, cfg.P
@@ -222,10 +224,17 @@ def _edge_features(cfg: VOConfig, st: VOState, ii, jj, kk):
     coords = edgewise.coords_to_corr_format(geo, P)
     kk_ring = (kk % (M * mem)).astype(jnp.int32)
     jj_ring = (jj % mem).astype(jnp.int32)
-    cdtype = st.gmap.dtype
-    corr_feat = corr_ops.corr_pyramid(
-        st.gmap, (st.fmap1, st.fmap2), coords.astype(cdtype), kk_ring, jj_ring,
-        radius=cfg.CORR_RADIUS, levels=cfg.CORR_LEVELS)
+    if mask is None:
+        mask = jnp.ones(ii.shape, bool)
+    if cfg.USE_PALLAS_CORR and jax.default_backend() == "tpu":
+        corr_feat = corr_pallas.corr_pyramid_pallas(
+            st.gmap, (st.fmap1, st.fmap2), coords, kk_ring, jj_ring, mask,
+            radius=cfg.CORR_RADIUS, levels=cfg.CORR_LEVELS)
+    else:
+        cdtype = st.gmap.dtype
+        corr_feat = corr_ops.corr_pyramid(
+            st.gmap, (st.fmap1, st.fmap2), coords.astype(cdtype), kk_ring,
+            jj_ring, radius=cfg.CORR_RADIUS, levels=cfg.CORR_LEVELS)
     ctx = st.imap[kk_ring]
     return geo, corr_feat.astype(jnp.float32), ctx.astype(jnp.float32)
 
@@ -234,7 +243,7 @@ def _update_once(net: EVONet, params, cfg: VOConfig, st: VOState) -> VOState:
     """One tracking update: reproject -> corr -> recurrent update -> 2 GN
     iterations of BA (devo.py:308-344)."""
     mask = st.emask
-    geo, corr_feat, ctx = _edge_features(cfg, st, st.ii, st.jj, st.kk)
+    geo, corr_feat, ctx = _edge_features(cfg, st, st.ii, st.jj, st.kk, mask)
 
     ixn, jxn = graph_ops.sorted_neighbors(st.kk, mask)
     kk_seg, ij_seg, tmin, kbase = _segment_ids(cfg, st)
@@ -381,7 +390,7 @@ def _write_frame(net: EVONet, params, cfg: VOConfig, st: VOState,
         scorer_eval_use_grid=cfg.SCORER_EVAL_USE_GRID,
         method=EVONet.run_patchify)
 
-    patches = out["patches"][0]        # (M, 3, P, P)
+    patches = out["patches"][0].reshape(M, 3 * P * P)  # flat [x, y, d] blocks
     imap_p = out["imap"][0]            # (M, Di)
     gmap_p = out["gmap"][0]            # (M, P, P, Df)
     fmap = out["fmap"][0]              # (h1, w1, Df)
@@ -399,12 +408,13 @@ def _write_frame(net: EVONet, params, cfg: VOConfig, st: VOState,
 
     # depth init (devo.py:514-520)
     key_d = jax.random.fold_in(key, 1)
-    rand_d = jax.random.uniform(key_d, (M, 1, 1))
+    rand_d = jax.random.uniform(key_d, (M, 1))
+    PP = P * P
     med_src = jax.lax.dynamic_slice(
-        st.patches, (jnp.maximum(n - 3, 0) * M, 2, 0, 0), (3 * M, 1, P, P))
+        st.patches, (jnp.maximum(n - 3, 0) * M, 2 * PP), (3 * M, PP))
     med = jnp.median(med_src)
     depth = jnp.where(st.initialized, med, 0.0) + jnp.where(st.initialized, 0.0, 1.0) * rand_d
-    patches = patches.at[:, 2].set(jnp.broadcast_to(depth, (M, P, P)))
+    patches = patches.at[:, 2 * PP:].set(jnp.broadcast_to(depth, (M, PP)))
 
     fdt = st.fmap1.dtype
     fmap2 = fmap.reshape(fmap.shape[0] // 4, 4, fmap.shape[1] // 4, 4, -1).mean((1, 3))
@@ -412,7 +422,7 @@ def _write_frame(net: EVONet, params, cfg: VOConfig, st: VOState,
     return st._replace(
         tstamps=st.tstamps.at[n].set(st.counter),
         poses=st.poses.at[n].set(new_pose),
-        patches=jax.lax.dynamic_update_slice(st.patches, patches, (n * M, 0, 0, 0)),
+        patches=jax.lax.dynamic_update_slice(st.patches, patches, (n * M, 0)),
         intrinsics=st.intrinsics.at[n].set(intrinsics / 4.0),
         colors=st.colors.at[n].set(out["clr"][0]),
         imap=jax.lax.dynamic_update_slice(st.imap, imap_p.astype(fdt), ((n % mem) * M, 0)),
@@ -577,8 +587,10 @@ class DEVO:
         st = self.state
         n = int(st.n)
         M = self.cfg.M
-        pts = pops.point_cloud(st.poses, st.patches[: n * M], st.intrinsics,
-                               jnp.arange(n * M) // M)
-        c = self.cfg.P // 2
+        P = self.cfg.P
+        pts = pops.point_cloud(st.poses,
+                               st.patches[: n * M].reshape(-1, 3, P, P),
+                               st.intrinsics, jnp.arange(n * M) // M)
+        c = P // 2
         pts = pts[:, c, c, :]
         return np.asarray(pts[..., :3] / np.maximum(np.asarray(pts[..., 3:]), 1e-8))

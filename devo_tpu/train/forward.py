@@ -121,8 +121,9 @@ def evonet_forward(
     bounds = jnp.asarray([-64.0, -64.0, w4 + 64.0, h4 + 64.0])
 
     traj = []
-    net_state = jnp.zeros((0, net.dim_inet), jnp.float32)
-    emask_np = np.ones((0,), bool)
+    E0 = len(sched[0].ii)
+    net_state = jnp.zeros((E0, net.dim_inet), jnp.float32)
+    emask_np = np.ones((E0,), bool)
 
     for s, es in enumerate(sched):
         Gs = jax.lax.stop_gradient(Gs)

@@ -19,6 +19,12 @@ import numpy as np
 from devo_tpu.lie import se3
 
 
+def _safe_norm(x, axis=-1):
+    """norm with a guarded sqrt: grad at exactly 0 is 0, not NaN (masked
+    edges multiply the result by 0, and NaN * 0 = NaN otherwise)."""
+    return jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=axis), 1e-12))
+
+
 def kabsch_umeyama_scale(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """Optimal Sim3 scale aligning B to A (train.py:54-65): A = gt, B = pred."""
     EA = A.mean(0)
@@ -34,7 +40,7 @@ def flow_loss_step(step: Dict[str, Any], P: int) -> jnp.ndarray:
     dij = np.abs(step["ii"] - step["jj"])
     close = jnp.asarray((dij > 0) & (dij <= 2))
     valid = (step["valid"] > 0.5) & close & step["emask"]
-    e = jnp.linalg.norm(step["coords"] - step["coords_gt"], axis=-1)  # (E, P, P)
+    e = _safe_norm(step["coords"] - step["coords_gt"])  # (E, P, P)
     ef = e.reshape(e.shape[0], -1).min(axis=-1)
     cnt = jnp.maximum(jnp.sum(valid), 1)
     return jnp.sum(ef * valid) / cnt
@@ -58,8 +64,8 @@ def pose_loss_step(step: Dict[str, Any]) -> jnp.ndarray:
     dP = se3.mul(se3.inv(Gs_scaled[ii]), Gs_scaled[jj])
     dG = se3.mul(se3.inv(Ps[ii]), Ps[jj])
     e1 = se3.log(se3.mul(dP, se3.inv(dG)))
-    tr = jnp.linalg.norm(e1[:, :3], axis=-1)
-    ro = jnp.linalg.norm(e1[:, 3:6], axis=-1)
+    tr = _safe_norm(e1[:, :3])
+    ro = _safe_norm(e1[:, 3:6])
     return tr.mean() + ro.mean()
 
 
@@ -69,7 +75,7 @@ def scorer_loss_step(step: Dict[str, Any], P: int) -> jnp.ndarray:
     k16 = jnp.asarray((dij > 0) & (dij <= 16))
     valid = (step["valid"] > 0.5) & k16 & step["emask"]
 
-    e = jnp.linalg.norm(step["coords"] - step["coords_gt"], axis=-1)
+    e = _safe_norm(step["coords"] - step["coords_gt"])
     ef = e.reshape(e.shape[0], -1).min(axis=-1)
     scores_flat = step["scores"].reshape(-1)           # (n*ppi,)
     sc = scores_flat[jnp.asarray(step["kk"])]

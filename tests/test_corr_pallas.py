@@ -1,0 +1,58 @@
+"""Golden test: Pallas correlation kernel vs the XLA reference implementation.
+
+Runs in interpreter mode on CPU (pl.pallas_call(interpret=...) via
+pltpu.force_tpu_interpret_mode) over shapes small enough to execute quickly;
+the on-TPU compiled path is exercised by bench.py and the engine.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from devo_tpu.ops import corr as corr_ops
+from devo_tpu.ops import corr_pallas
+
+
+def make_case(seed=0, E=24, mem=4, H=32, W=40, C=128, M=16, P=3,
+              coord_range=None):
+    rng = np.random.default_rng(seed)
+    gmap = rng.standard_normal((M, P, P, C)).astype(np.float32)
+    fmap = rng.standard_normal((mem, H, W, C)).astype(np.float32)
+    kk = rng.integers(0, M, E).astype(np.int32)
+    jj = rng.integers(0, mem, E).astype(np.int32)
+    lo_x, hi_x = coord_range or (-6, W + 6)
+    cx = rng.uniform(lo_x, hi_x, (E, 1, 1))
+    cy = rng.uniform(-6, H + 6, (E, 1, 1))
+    off = np.arange(P) - P // 2
+    coords = np.stack([
+        np.broadcast_to(cx + off[None, None, :], (E, P, P)),
+        np.broadcast_to(cy + off[None, :, None], (E, P, P)),
+    ], -1).astype(np.float32)
+    mask = rng.random(E) < 0.9
+    return (jnp.asarray(gmap), jnp.asarray(fmap), jnp.asarray(coords),
+            jnp.asarray(kk), jnp.asarray(jj), jnp.asarray(mask))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_corr_matches_xla(seed):
+    gmap, fmap, coords, kk, jj, mask = make_case(seed)
+    # the kernel computes in bf16 (as the engine's mixed-precision path
+    # does); quantize the reference inputs identically
+    gb = gmap.astype(jnp.bfloat16).astype(jnp.float32)
+    fb = fmap.astype(jnp.bfloat16).astype(jnp.float32)
+    want = corr_ops.corr(gb, fb, coords, kk, jj, radius=3)
+    want = np.asarray(want) * np.asarray(mask)[:, None]
+    with pltpu.force_tpu_interpret_mode():
+        got = corr_pallas.corr_level_pallas(gmap, fmap, coords, kk, jj, mask)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
+
+
+def test_pallas_corr_out_of_bounds_taps_zero():
+    # centers far off-image: all taps out of bounds -> exact zeros
+    gmap, fmap, coords, kk, jj, mask = make_case(
+        seed=2, E=8, coord_range=(-300, -200))
+    with pltpu.force_tpu_interpret_mode():
+        got = corr_pallas.corr_level_pallas(gmap, fmap, coords, kk, jj, mask)
+    np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-6)

