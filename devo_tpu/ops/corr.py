@@ -21,6 +21,7 @@ multiply-reduce fused into the gather consumer.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -89,6 +90,130 @@ def corr(
             cols.append((1 - dxf) * (1 - dyf) * c00 + dxf * (1 - dyf) * c01
                         + (1 - dxf) * dyf * c10 + dxf * dyf * c11)
     return jnp.concatenate(cols, axis=-1)  # (E, d*d*PP)
+
+
+def corr_window(
+    gmap: jnp.ndarray,    # (M, P, P, C)
+    fmap: jnp.ndarray,    # (N, H, W, C)
+    coords: jnp.ndarray,  # (E, P, P, 2)
+    kk: jnp.ndarray,
+    jj: jnp.ndarray,
+    mask: jnp.ndarray,
+    radius: int = 3,
+) -> jnp.ndarray:
+    """Window-gather correlation: same output as corr(), restructured for
+    TPU gather economics.
+
+    The naive form gathers E*P^2*(2r+2)^2 single feature rows (~35M rows per
+    level at full capacity — gather-row-overhead bound). Here each edge
+    fetches ONE contiguous (16, 24, C) window slice covering all of its tap
+    grids (8x fewer, 400x larger gather rows), every window x patch-pixel
+    product becomes a batched MXU contraction, and the per-pixel 8x8 tap
+    blocks + bilinear blend reduce to static-slice selects (ry has 9 possible
+    values, the aligned rx base 2, the residual x offset 8 — all enumerable).
+
+    Window coverage caveat matches the Pallas kernel: patch spread > 8 px
+    clamps the farthest taps (degenerate edges only; BA residual-gates them).
+    """
+    N, H, W, C = fmap.shape
+    E, P = coords.shape[0], coords.shape[1]
+    PP = P * P
+    R = radius
+    d = 2 * radius + 1
+    WIN, WINX, PAD = 16, 24, 12
+
+    x = coords[..., 0].reshape(E, PP).astype(jnp.float32)
+    y = coords[..., 1].reshape(E, PP).astype(jnp.float32)
+    xf = jnp.floor(x)
+    yf = jnp.floor(y)
+    fx = (x - xf).astype(jnp.float32)
+    fy = (y - yf).astype(jnp.float32)
+    xf = xf.astype(jnp.int32)
+    yf = yf.astype(jnp.int32)
+
+    Hp, Wp = H + 2 * PAD, W + 2 * PAD
+    x0 = jnp.clip(jnp.min(xf, axis=1) - R + PAD, 0, Wp - WINX)
+    x0 = (x0 // 8) * 8
+    y0 = jnp.clip(jnp.min(yf, axis=1) - R + PAD, 0, Hp - WIN)
+    rx = jnp.clip(xf - R + PAD - x0[:, None], 0, WINX - 9)
+    ry = jnp.clip(yf - R + PAD - y0[:, None], 0, WIN - 8)
+    rx8 = rx // 8            # aligned strip base: 0 or 1 (x8)
+    rxo = rx - rx8 * 8
+
+    fdt = fmap.dtype
+    fmap_p = jnp.pad(fmap, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)))
+
+    # one strided window slice per edge
+    starts = jnp.stack([jj.astype(jnp.int32), y0, x0], axis=-1)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2))
+    win = jax.lax.gather(
+        fmap_p, starts, dnums, slice_sizes=(1, WIN, WINX, C),
+        mode=jax.lax.GatherScatterMode.CLIP)             # (E, 16, 24, C)
+
+    g = gmap.reshape(-1, PP, C)[kk]                      # (E, PP, C)
+    # batched contraction on the MXU: all window x patch-pixel products.
+    # output laid out (E, PP, 384) — keeping the 384 window positions on
+    # lanes avoids the ~14x tile padding an (E, 16, 24, PP) layout would pay
+    Rw = jax.lax.dot_general(
+        g, win.reshape(E, WIN * WINX, C),
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (E, PP, 384)
+    Rp = Rw.reshape(E, PP, WIN, WINX)
+
+    # per-pixel strip: rows [ry, ry+8), cols [8*rx8, 8*rx8+16) — both from
+    # small enumerable sets, so static slices + selects, fused by XLA into
+    # one pass emitting the lane-concatenated (E, 8, 16*PP) strip tensor
+    strips = []
+    for p in range(PP):
+        v = Rp[:, p]                                     # (E, 16, 24)
+        s = jnp.zeros((E, 8, WIN), jnp.float32)
+        sel_x = (rx8[:, p] == 0)[:, None, None]
+        for k in range(WIN - 8 + 1):                     # ry in [0, 8]
+            cand = jnp.where(sel_x, v[:, k:k + 8, :WIN], v[:, k:k + 8, 8:8 + WIN])
+            s = jnp.where((ry[:, p] == k)[:, None, None], cand, s)
+        strips.append(s)
+    strip = jnp.concatenate(strips, axis=-1)             # (E, 8, 16*PP)
+
+    return blend_strips(strip, fx, fy, rxo, mask, PP)
+
+
+def blend_strips(strip, fx, fy, rxo, mask, PP: int) -> jnp.ndarray:
+    """Bilinear blend of per-pixel tap strips (shared by corr_window and the
+    Pallas kernel's post-processing).
+
+    strip: (E, 8, 16*PP) integer taps, pixel p's block at lanes [16p, 16p+16)
+    starting at its aligned base; the true tap origin is rxo in [0, 8).
+    Returns (E, 49*PP) ordered [dx, dy, pixel].
+    """
+    E = strip.shape[0]
+    pidx = np.repeat(np.arange(PP), 7)                   # (7*PP,)
+    base = (pidx * 16 + np.tile(np.arange(7), PP)).astype(np.int32)
+    fx_l = fx[:, pidx][:, None, :]
+    fy_l = fy[:, pidx][:, None, :]
+    rxo_l = rxo[:, pidx][:, None, :]
+    bl = jnp.zeros((E, 7, 7 * PP), jnp.float32)
+    for k in range(8):
+        sel0 = base + k
+        sel1 = sel0 + 1
+        c00 = strip[:, :7, sel0]
+        c01 = strip[:, :7, sel1]
+        c10 = strip[:, 1:8, sel0]
+        c11 = strip[:, 1:8, sel1]
+        cand = ((1 - fx_l) * (1 - fy_l) * c00 + fx_l * (1 - fy_l) * c01
+                + (1 - fx_l) * fy_l * c10 + fx_l * fy_l * c11)
+        bl = jnp.where(rxo_l == k, cand, bl)
+    bl = jnp.where(mask[:, None, None], bl, 0.0)
+
+    # [dy, (p, dx)] -> flat [dx, dy, p]
+    flat = bl.reshape(E, 7 * 7 * PP)
+    dy_i = np.repeat(np.arange(7), 7 * PP)
+    p_i = np.tile(pidx, 7)
+    dx_i = np.tile(np.tile(np.arange(7), PP), 7)
+    out_idx = np.zeros(7 * 7 * PP, np.int32)
+    out_idx[(dx_i * 7 + dy_i) * PP + p_i] = np.arange(7 * 7 * PP)
+    return flat[:, out_idx]
 
 
 def corr_pyramid(

@@ -47,7 +47,9 @@ class VOConfig:
     # TPU static capacities
     MEM: int = 32                        # feature ring buffer (devo.py:69)
     EDGE_CAP: int = 0                    # 0 -> auto from the bound below
-    USE_PALLAS_CORR: bool = True         # VMEM-resident corr kernel (TPU only)
+    CORR_IMPL: str = "window"            # "window" (slice-gather + MXU),
+                                         # "pallas" (VMEM-resident kernel),
+                                         # "gather" (naive reference form)
 
     def __post_init__(self):
         if self.EDGE_CAP == 0:

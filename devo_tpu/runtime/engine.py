@@ -92,9 +92,10 @@ class StepAux(NamedTuple):
     kf_dP: jnp.ndarray       # (7,) relative pose P_k * P_{k-1}^-1
 
 
-def init_state(cfg: VOConfig, ht: int, wd: int, seed: int = 0) -> VOState:
+def init_state(cfg: VOConfig, ht: int, wd: int, seed: int = 0,
+               edge_cap: int = None) -> VOState:
     N, M, P = cfg.BUFFER_SIZE, cfg.M, cfg.P
-    mem, E = cfg.MEM, cfg.EDGE_CAP
+    mem, E = cfg.MEM, edge_cap or cfg.EDGE_CAP
     h1, w1 = ht // 4, wd // 4
     fdt = jnp.bfloat16 if cfg.MIXED_PRECISION else jnp.float32
     poses = jnp.zeros((N, 7), jnp.float32).at[:, 6].set(1.0)
@@ -226,10 +227,16 @@ def _edge_features(cfg: VOConfig, st: VOState, ii, jj, kk, mask=None):
     jj_ring = (jj % mem).astype(jnp.int32)
     if mask is None:
         mask = jnp.ones(ii.shape, bool)
-    if cfg.USE_PALLAS_CORR and jax.default_backend() == "tpu":
+    impl = cfg.CORR_IMPL if jax.default_backend() == "tpu" else "gather"
+    if impl == "pallas":
         corr_feat = corr_pallas.corr_pyramid_pallas(
             st.gmap, (st.fmap1, st.fmap2), coords, kk_ring, jj_ring, mask,
             radius=cfg.CORR_RADIUS, levels=cfg.CORR_LEVELS)
+    elif impl == "window":
+        outs = [corr_ops.corr_window(st.gmap, fm, coords / lvl, kk_ring,
+                                     jj_ring, mask, radius=cfg.CORR_RADIUS)
+                for fm, lvl in zip((st.fmap1, st.fmap2), cfg.CORR_LEVELS)]
+        corr_feat = jnp.stack(outs, axis=-1).reshape(ii.shape[0], -1)
     else:
         cdtype = st.gmap.dtype
         corr_feat = corr_ops.corr_pyramid(
@@ -512,7 +519,17 @@ class DEVO:
                           dim=cfg.DIM, patch_selector=cfg.PATCH_SELECTOR,
                           dtype=jnp.bfloat16 if cfg.MIXED_PRECISION else jnp.float32)
         self.params = params
-        self.state = init_state(cfg, ht, wd, seed)
+        # Bucketed edge capacity: the worst-case bound (EDGE_CAP) is ~2-10x
+        # the live edge count of typical sequences, and every per-edge op
+        # scales with the table size. The packed table lets us run at the
+        # smallest bucket that fits, growing/shrinking between frames (jit
+        # caches one executable per bucket). The per-frame growth is bounded
+        # by one append block, so a one-frame-lagged count + margin is safe.
+        self._block = cfg.M * (2 * cfg.PATCH_LIFETIME - 1)
+        caps = sorted({self._round_cap(cfg.EDGE_CAP // k) for k in (6, 3, 2, 1)}
+                      | {self._round_cap(12 * self._block)})
+        self._caps = [c for c in caps if c <= self._round_cap(cfg.EDGE_CAP)]
+        self.state = init_state(cfg, ht, wd, seed, edge_cap=self._caps[0])
         self.step_fn = make_step(self.net, cfg)
         self._update_fn = jax.jit(
             lambda p, s: _update_once(self.net, p, self.cfg, s),
@@ -520,10 +537,35 @@ class DEVO:
         self.tlist = []            # real timestamps of counted frames
         self.aux_log = []          # device aux records (lazy)
 
+    @staticmethod
+    def _round_cap(c: int) -> int:
+        return ((max(c, 1024) + 1023) // 1024) * 1024
+
+    def _rebucket(self):
+        """Grow/shrink the edge table to the smallest safe bucket."""
+        ne = int(self.state.n_edges)   # syncs the previous frame only
+        need = ne + 2 * self._block
+        cap = self.state.ii.shape[0]
+        target = next((c for c in self._caps if c >= need), self._caps[-1])
+        if target == cap or (target < cap and need > cap // 2):
+            return  # hysteresis: only shrink when clearly below
+        st = self.state
+        E = target
+
+        def fit(a):
+            if a.shape[0] >= E:
+                return a[:E]
+            pad = [(0, E - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, pad)
+
+        self.state = st._replace(ii=fit(st.ii), jj=fit(st.jj), kk=fit(st.kk),
+                                 enet=fit(st.enet))
+
     def __call__(self, tstamp, voxel, intrinsics):
         """voxel: (H, W, bins) numpy/jax array; intrinsics: (4,)."""
         if voxel.shape[-2] == 346:  # MVSEC/FPV width hack (devo.py:466-467)
             voxel = voxel[:, 1:-1, :]
+        self._rebucket()
         st, aux = self.step_fn(self.params, self.state,
                                jnp.asarray(voxel, jnp.float32),
                                jnp.asarray(intrinsics, jnp.float32))
