@@ -27,7 +27,10 @@ def main():
     HT, WD = 480, 640
     N_WARM, N_BENCH = 24, 72
 
-    cfg = VOConfig()
+    # the motion-probe gate is a learned behavior (devo.py:531-534); with
+    # random weights it rejects every frame and the bench would measure the
+    # (cheap) rejection path instead of tracking. Disable it here.
+    cfg = VOConfig(MOTION_PROBE_THRESH=-1.0)
     net = EVONet(P=cfg.P, dim_inet=cfg.DIM_INET, dim_fnet=cfg.DIM_FNET,
                  dim=cfg.DIM, patch_selector=cfg.PATCH_SELECTOR)
     params = net.init(jax.random.PRNGKey(0),

@@ -542,9 +542,18 @@ class DEVO:
         return ((max(c, 1024) + 1023) // 1024) * 1024
 
     def _rebucket(self):
-        """Grow/shrink the edge table to the smallest safe bucket."""
+        """Grow/shrink the edge table to the smallest safe bucket. The
+        device count is only consulted every few frames (each read syncs the
+        host to the previous step); growth between checks is bounded by one
+        append block per frame, covered by the margin."""
+        self._frames_since_check = getattr(self, "_frames_since_check", 0) + 1
+        if self._frames_since_check < 4 and self.state.ii.shape[0] > 0 \
+                and getattr(self, "_checked_once", False):
+            return
+        self._frames_since_check = 0
+        self._checked_once = True
         ne = int(self.state.n_edges)   # syncs the previous frame only
-        need = ne + 2 * self._block
+        need = ne + 5 * self._block
         cap = self.state.ii.shape[0]
         target = next((c for c in self._caps if c >= need), self._caps[-1])
         if target == cap or (target < cap and need > cap // 2):

@@ -102,10 +102,19 @@ class Trainer:
         def train_step(params, opt_state, batch, key, step_count):
             (loss, metrics), grads = jax.value_and_grad(
                 self.loss_fn, has_aux=True)(params, batch, key, step_count)
+            # zero non-finite gradient entries (the reference relies on the
+            # same behavior via GradZero/GradientClip, devo/blocks.py:74-107,
+            # and clip-NaN swallowing in torch's DDP path); track how often
+            nan_cnt = jax.tree.reduce(
+                lambda a, b: a + b,
+                jax.tree.map(lambda g: jnp.sum(~jnp.isfinite(g)), grads))
+            grads = jax.tree.map(
+                lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
             nan = ~jnp.isfinite(loss)
             grads = jax.tree.map(lambda g: jnp.where(nan, 0.0, g), grads)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            metrics = dict(metrics, grad_nonfinite=nan_cnt)
             return params, opt_state, metrics
 
         repl = NamedSharding(mesh, P())
