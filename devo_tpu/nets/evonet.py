@@ -33,6 +33,7 @@ class Patchifier(nn.Module):
     dim: int = 32
     patch_selector: str = "scorer"
     dtype: jnp.dtype = jnp.float32
+    bins: int = 5
 
     def setup(self):
         self.fnet = BasicEncoder4Evs(output_dim=self.dim_fnet, dim=self.dim,
@@ -42,7 +43,7 @@ class Patchifier(nn.Module):
                                      norm_fn="none", name="inet",
                                      dtype=self.dtype)
         if self.patch_selector == "scorer":
-            self.scorer = Scorer(bins=5, name="scorer")
+            self.scorer = Scorer(bins=self.bins, name="scorer")
 
     def __call__(
         self,
@@ -74,6 +75,9 @@ class Patchifier(nn.Module):
                 elif scorer_eval_mode == "topk":
                     x, y = sel.select_topk(scores, patches_per_image,
                                            use_grid=scorer_eval_use_grid)
+                elif scorer_eval_mode == "nms":
+                    x, y = sel.select_nms(scores, patches_per_image,
+                                          use_grid=scorer_eval_use_grid)
                 else:
                     raise NotImplementedError(scorer_eval_mode)
                 scores_sel = sel.gather_scores(scores, x, y)
@@ -117,12 +121,13 @@ class EVONet(nn.Module):
     dim: int = 32
     patch_selector: str = "scorer"
     dtype: jnp.dtype = jnp.float32   # bf16 under mixed precision (devo.py:71-74)
+    bins: int = 5                    # 5 voxel bins; 3 for RGB frames (VONet)
 
     def setup(self):
         self.patchify = Patchifier(
             patch_size=self.P, dim_inet=self.dim_inet, dim_fnet=self.dim_fnet,
             dim=self.dim, patch_selector=self.patch_selector, name="patchify",
-            dtype=self.dtype)
+            dtype=self.dtype, bins=self.bins)
         self.update = Update(dim=self.dim_inet,
                              corr_dim=2 * 49 * self.P * self.P, name="update",
                              dtype=self.dtype)

@@ -148,6 +148,51 @@ def select_topk(scores: jnp.ndarray, ppi: int, use_grid: bool = True):
     return x, y
 
 
+def select_nms(scores: jnp.ndarray, ppi: int, use_grid: bool = False):
+    """Pooled NMS sampling (selector.py:194-254).
+
+    The reference runs torchvision batched_nms over 3x3 boxes with IoU 0.4 —
+    for 3-px boxes that threshold suppresses exactly the 4-neighborhood of a
+    kept peak ((3-|dx|)(3-|dy|) > 5.1). Greedy selection becomes a
+    fixed-length fori_loop of argmax + neighborhood suppression, which stays
+    on device (torchvision's sequential NMS has no TPU analogue).
+    """
+    n, h, w = scores.shape
+    top, bottom, left, right = _pad_amounts(h, w, use_grid)
+    s = jnp.pad(scores, ((0, 0), (top, bottom), (left, right)))
+    hp, wp = s.shape[1:]
+    h1, w1 = hp // KERNEL, wp // KERNEL
+
+    blocks = s.reshape(n, h1, KERNEL, w1, KERNEL).transpose(0, 1, 3, 2, 4)
+    blocks = blocks.reshape(n, h1, w1, KERNEL * KERNEL)
+    max_scores = blocks.max(-1)           # (n, h1, w1) pooled peaks
+    max_idx = blocks.argmax(-1)
+    # peak coordinates in padded pixel space
+    py = (jnp.arange(h1)[None, :, None] * KERNEL + max_idx // KERNEL)
+    px = (jnp.arange(w1)[None, None, :] * KERNEL + max_idx % KERNEL)
+
+    def body(i, carry):
+        sc, xs, ys = carry
+        flat = sc.reshape(n, -1)
+        pick = jnp.argmax(flat, axis=-1)           # (n,)
+        cy, cx = pick // w1, pick % w1
+        xs = xs.at[:, i].set(px[jnp.arange(n), cy, cx])
+        ys = ys.at[:, i].set(py[jnp.arange(n), cy, cx])
+        # suppress the 4-neighborhood (IoU > 0.4 for 3x3 boxes)
+        gy = jnp.arange(h1)[None, :, None]
+        gx = jnp.arange(w1)[None, None, :]
+        dist = jnp.abs(gy - cy[:, None, None]) + jnp.abs(gx - cx[:, None, None])
+        sc = jnp.where(dist <= 1, -jnp.inf, sc)
+        return sc, xs, ys
+
+    xs = jnp.zeros((n, ppi), jnp.int32)
+    ys = jnp.zeros((n, ppi), jnp.int32)
+    _, xs, ys = jax.lax.fori_loop(0, ppi, body, (max_scores, xs, ys))
+    x = jnp.clip(xs - left, 0, w - 1)
+    y = jnp.clip(ys - top, 0, h - 1)
+    return x, y
+
+
 def select_random(key, n: int, h: int, w: int, ppi: int):
     """Uniform random selection (enet.py:144-147)."""
     kx, ky = jax.random.split(key)

@@ -25,6 +25,9 @@ class VOConfig:
     SCORER_EVAL_MODE: str = "multi"
     SCORER_EVAL_USE_GRID: bool = True
     NORM: str = "std"
+    EVS: bool = True                     # event voxels; False = frame input
+                                         # (RGB / E2VID / rendered ev-frames)
+    BINS: int = 5                        # input channels (3 for frames)
     PATCHES_PER_FRAME: int = 96          # default_evs.yaml: 96 (config.py: 80)
     REMOVAL_WINDOW: int = 22             # yaml: 22
     OPTIMIZATION_WINDOW: int = 10        # yaml: 10

@@ -448,10 +448,15 @@ def make_step(net: EVONet, cfg: VOConfig):
         key, key_sel = jax.random.split(st.rng)
         st = st._replace(rng=key)
 
-        # normalization + empty-voxel gate (devo.py:406-457)
-        nonzero_frac = jnp.mean((voxel != 0.0).astype(jnp.float32))
-        skip = (st.n == 0) & (nonzero_frac < 2e-2)
-        voxel = normalize(voxel, cfg.NORM)
+        if cfg.EVS:
+            # normalization + empty-voxel gate (devo.py:406-457)
+            nonzero_frac = jnp.mean((voxel != 0.0).astype(jnp.float32))
+            skip = (st.n == 0) & (nonzero_frac < 2e-2)
+            voxel = normalize(voxel, cfg.NORM)
+        else:
+            # frame input (devo.py:395): scale to [-0.5, 1.5]
+            skip = jnp.asarray(False)
+            voxel = 2.0 * (voxel / 255.0) - 0.5
 
         def do_skip(st):
             aux = StepAux(jnp.int32(0), jnp.asarray(False), jnp.int32(0),
@@ -517,7 +522,8 @@ class DEVO:
         self.cfg = cfg
         self.net = EVONet(P=cfg.P, dim_inet=cfg.DIM_INET, dim_fnet=cfg.DIM_FNET,
                           dim=cfg.DIM, patch_selector=cfg.PATCH_SELECTOR,
-                          dtype=jnp.bfloat16 if cfg.MIXED_PRECISION else jnp.float32)
+                          dtype=jnp.bfloat16 if cfg.MIXED_PRECISION else jnp.float32,
+                          bins=cfg.BINS)
         self.params = params
         # Bucketed edge capacity: the worst-case bound (EDGE_CAP) is ~2-10x
         # the live edge count of typical sequences, and every per-edge op

@@ -1,0 +1,78 @@
+"""Shared driver for frame-based evaluation families.
+
+Counterpart of /root/reference/evals/{eval_rgb, eval_e2v, eval_evs_frame}:
+runs intensity frames (RGB, E2VID reconstructions, or rendered event
+frames) through the VO engine in frame mode (cfg.EVS=False, 3-channel
+encoder, devo.py:395 scaling). NB: the reference repository ships no RGB
+(VONet) weights (devo/net.py is absent upstream, devo/devo.py:10); these
+drivers exist for API parity and for frame-model checkpoints trained with
+this framework.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from devo_tpu.data.loaders import BENCHMARK_RES, load_tum_traj
+from devo_tpu.eval.harness import evaluate_sequence
+from devo_tpu.runtime.config import EVAL_CONFIGS
+from common import load_params, make_parser
+
+
+def frame_iterator(imgdir: str, intrinsics, stride: int = 1):
+    import cv2
+
+    files = sorted(glob.glob(os.path.join(imgdir, "*.png"))
+                   + glob.glob(os.path.join(imgdir, "*.jpg")))[::stride]
+    tss = None
+    ts_file = os.path.join(os.path.dirname(imgdir), "images_timestamps_us.txt")
+    if os.path.exists(ts_file):
+        tss = np.loadtxt(ts_file)[::stride]
+    for i, fn in enumerate(files):
+        img = cv2.imread(fn)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, -1)
+        ts = tss[i] / 1e6 if tss is not None else float(i)
+        yield img.transpose(2, 0, 1).astype(np.float32), intrinsics, ts
+
+
+def main(benchmark: str, family: str):
+    """family: 'rgb' (camera frames), 'e2v' (E2VID reconstructions),
+    'evs_frame' (rendered event frames) — they differ only in which image
+    directory is read (eval_e2v/eval_eds_e2v.py:41-50)."""
+    subdir = {"rgb": "images_undistorted_calib0", "e2v": "e2v",
+              "evs_frame": "evs_frames"}[family]
+    args = make_parser(f"{benchmark}:{family}").parse_args()
+    cfg = EVAL_CONFIGS.get(benchmark, EVAL_CONFIGS["default"]).replace(
+        EVS=False, BINS=3, PATCH_SELECTOR="random", NORM="none")
+    if args.config_overrides:
+        cfg = cfg.replace(**json.loads(args.config_overrides))
+    params = load_params(args.weights)
+    H, W = BENCHMARK_RES[benchmark]
+
+    scenes = open(args.val_split).read().split() if args.val_split else [""]
+    results = {}
+    for scene in scenes:
+        datapath = os.path.join(args.datapath, scene)
+        tss_gt_us, traj_gt = load_tum_traj(
+            os.path.join(datapath, "stamped_groundtruth_us.txt"))
+        intr = np.loadtxt(os.path.join(datapath, "calib_undist.txt")) \
+            if os.path.exists(os.path.join(datapath, "calib_undist.txt")) \
+            else np.asarray([W, W, W / 2, H / 2], np.float32)
+        med, all_res, fps = evaluate_sequence(
+            cfg, params,
+            make_iterator=lambda dp=datapath: frame_iterator(
+                os.path.join(dp, subdir), intr, args.stride),
+            traj_gt=traj_gt, tss_gt=tss_gt_us / 1e6,
+            trials=args.trials, ht=H, wd=W, outdir=args.outdir,
+            name=(scene.replace("/", "_") or benchmark) + f"_{family}")
+        results[scene] = dict(ate_cm=med.ate, mpe=med.mpe, r_rmse=med.r_rmse)
+        print(scene, results[scene])
+    print(json.dumps(results, indent=2))

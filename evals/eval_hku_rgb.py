@@ -1,0 +1,5 @@
+"""rgb frame evaluation on hku (cf. /root/reference/evals/eval_rgb/)."""
+from common_frames import main
+
+if __name__ == "__main__":
+    main("hku", "rgb")

@@ -1,0 +1,5 @@
+"""e2v frame evaluation on mvsec (cf. /root/reference/evals/eval_e2v/)."""
+from common_frames import main
+
+if __name__ == "__main__":
+    main("mvsec", "e2v")

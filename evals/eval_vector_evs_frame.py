@@ -1,0 +1,5 @@
+"""evs_frame frame evaluation on vector (cf. /root/reference/evals/eval_evs_frame/)."""
+from common_frames import main
+
+if __name__ == "__main__":
+    main("vector", "evs_frame")
