@@ -163,18 +163,15 @@ def corr_window(
     Rp = Rw.reshape(E, PP, WIN, WINX)
 
     # per-pixel strip: rows [ry, ry+8), cols [8*rx8, 8*rx8+16) — both from
-    # small enumerable sets, so static slices + selects, fused by XLA into
-    # one pass emitting the lane-concatenated (E, 8, 16*PP) strip tensor
-    strips = []
-    for p in range(PP):
-        v = Rp[:, p]                                     # (E, 16, 24)
-        s = jnp.zeros((E, 8, WIN), jnp.float32)
-        sel_x = (rx8[:, p] == 0)[:, None, None]
-        for k in range(WIN - 8 + 1):                     # ry in [0, 8]
-            cand = jnp.where(sel_x, v[:, k:k + 8, :WIN], v[:, k:k + 8, 8:8 + WIN])
-            s = jnp.where((ry[:, p] == k)[:, None, None], cand, s)
-        strips.append(s)
-    strip = jnp.concatenate(strips, axis=-1)             # (E, 8, 16*PP)
+    # small enumerable sets, so STATIC slices + selects only (a dynamic
+    # lane-dim gather here measures ~1000x slower than the select chain)
+    s = jnp.zeros((E, PP, 8, WIN), jnp.float32)
+    sel_x = (rx8 == 0)[:, :, None, None]
+    for k in range(WIN - 8 + 1):                         # ry in [0, 8]
+        cand = jnp.where(sel_x, Rp[:, :, k:k + 8, :WIN],
+                         Rp[:, :, k:k + 8, 8:8 + WIN])
+        s = jnp.where((ry == k)[:, :, None, None], cand, s)
+    strip = s.transpose(0, 2, 1, 3)                      # (E, 8, PP, 16)
 
     return blend_strips(strip, fx, fy, rxo, mask, PP)
 
@@ -183,37 +180,25 @@ def blend_strips(strip, fx, fy, rxo, mask, PP: int) -> jnp.ndarray:
     """Bilinear blend of per-pixel tap strips (shared by corr_window and the
     Pallas kernel's post-processing).
 
-    strip: (E, 8, 16*PP) integer taps, pixel p's block at lanes [16p, 16p+16)
-    starting at its aligned base; the true tap origin is rxo in [0, 8).
-    Returns (E, 49*PP) ordered [dx, dy, pixel].
+    strip: (E, 8, PP, 16) integer taps; pixel p's 8x16 block starts at its
+    aligned base, the true tap origin is rxo in [0, 8). Static slices +
+    8-way rxo select only — no lane gathers. Returns (E, 49*PP) ordered
+    [dx, dy, pixel] (correlation_kernel.cu:232 x-major flattening).
     """
     E = strip.shape[0]
-    pidx = np.repeat(np.arange(PP), 7)                   # (7*PP,)
-    base = (pidx * 16 + np.tile(np.arange(7), PP)).astype(np.int32)
-    fx_l = fx[:, pidx][:, None, :]
-    fy_l = fy[:, pidx][:, None, :]
-    rxo_l = rxo[:, pidx][:, None, :]
-    bl = jnp.zeros((E, 7, 7 * PP), jnp.float32)
-    for k in range(8):
-        sel0 = base + k
-        sel1 = sel0 + 1
-        c00 = strip[:, :7, sel0]
-        c01 = strip[:, :7, sel1]
-        c10 = strip[:, 1:8, sel0]
-        c11 = strip[:, 1:8, sel1]
-        cand = ((1 - fx_l) * (1 - fy_l) * c00 + fx_l * (1 - fy_l) * c01
-                + (1 - fx_l) * fy_l * c10 + fx_l * fy_l * c11)
-        bl = jnp.where(rxo_l == k, cand, bl)
-    bl = jnp.where(mask[:, None, None], bl, 0.0)
-
-    # [dy, (p, dx)] -> flat [dx, dy, p]
-    flat = bl.reshape(E, 7 * 7 * PP)
-    dy_i = np.repeat(np.arange(7), 7 * PP)
-    p_i = np.tile(pidx, 7)
-    dx_i = np.tile(np.tile(np.arange(7), PP), 7)
-    out_idx = np.zeros(7 * 7 * PP, np.int32)
-    out_idx[(dx_i * 7 + dy_i) * PP + p_i] = np.arange(7 * 7 * PP)
-    return flat[:, out_idx]
+    if strip.ndim == 3:                                  # (E, 8, 16*PP)
+        strip = strip.reshape(E, 8, PP, 16)
+    fy_b = fy[:, None, :, None]                          # (E, 1, PP, 1)
+    fx_b = fx[:, None, :, None]
+    # y-blend: (E, 7, PP, 16)
+    Y = (1 - fy_b) * strip[:, :7] + fy_b * strip[:, 1:8]
+    out = jnp.zeros((E, 7, PP, 7), jnp.float32)
+    for k in range(8):                                   # rxo in [0, 8)
+        cand = (1 - fx_b) * Y[..., k:k + 7] + fx_b * Y[..., k + 1:k + 8]
+        out = jnp.where((rxo == k)[:, None, :, None], cand, out)
+    out = jnp.where(mask[:, None, None, None], out, 0.0)
+    # [dy, p, dx] -> flat [dx, dy, p]
+    return out.transpose(0, 3, 1, 2).reshape(E, 7 * 7 * PP)
 
 
 def corr_pyramid(

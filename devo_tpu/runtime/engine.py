@@ -130,11 +130,16 @@ def _gather_edges(st: VOState, src: jnp.ndarray) -> VOState:
 
 def _remove_and_pack(st: VOState, drop: jnp.ndarray) -> VOState:
     """Drop edges and re-pack, preserving order (stable partition via a
-    single prefix-sum + dense gather — no sort)."""
+    prefix-sum + searchsorted — jnp.where(size=...) would lower to a sort)."""
+    E = st.ii.shape[0]
     keep = st.emask & ~drop
-    src = jnp.where(keep, size=st.ii.shape[0], fill_value=st.ii.shape[0] - 1)[0]
-    st = _gather_edges(st, src.astype(jnp.int32))
-    return st._replace(n_edges=jnp.sum(keep).astype(jnp.int32))
+    csum = jnp.cumsum(keep.astype(jnp.int32))
+    # src[r] = index of the (r+1)-th kept edge
+    src = jnp.searchsorted(csum, jnp.arange(1, E + 1, dtype=jnp.int32),
+                           side="left").astype(jnp.int32)
+    src = jnp.minimum(src, E - 1)
+    st = _gather_edges(st, src)
+    return st._replace(n_edges=csum[-1])
 
 
 def _append_edges(cfg: VOConfig, st: VOState) -> VOState:
@@ -341,15 +346,25 @@ def _remove_keyframe(cfg: VOConfig, st: VOState, k) -> VOState:
     )
     st = _remove_and_pack(st, drop)
 
-    fidx = jnp.arange(N)
-    fsrc = jnp.where(fidx >= k, jnp.minimum(fidx + 1, N - 1), fidx)
-    pidx = jnp.arange(N * M)
-    psrc = jnp.where(pidx >= k * M, jnp.minimum(pidx + M, N * M - 1), pidx)
+    # only frames (k, n) hold data that must move down one slot; that is a
+    # static KEYFRAME_INDEX-1 frames — a windowed dynamic-slice move, not a
+    # whole-buffer gather (N*M = 393k rows of patches otherwise)
+    L = cfg.KEYFRAME_INDEX - 1
+
+    def shift_frames(buf, rows_per_frame=1):
+        r = rows_per_frame
+        mv = jax.lax.dynamic_slice(
+            buf.reshape(N * r, -1), ((k + 1) * r, 0),
+            (L * r, buf.reshape(N * r, -1).shape[1]))
+        out = jax.lax.dynamic_update_slice(buf.reshape(N * r, -1), mv, (k * r, 0))
+        return out.reshape(buf.shape)
 
     return st._replace(
-        tstamps=st.tstamps[fsrc], poses=st.poses[fsrc],
-        intrinsics=st.intrinsics[fsrc], colors=st.colors[fsrc],
-        patches=st.patches[psrc],
+        tstamps=shift_frames(st.tstamps[:, None])[:, 0],
+        poses=shift_frames(st.poses),
+        intrinsics=shift_frames(st.intrinsics),
+        colors=shift_frames(st.colors),
+        patches=shift_frames(st.patches.reshape(N, -1)).reshape(st.patches.shape),
         imap=_shift_ring(st.imap.reshape(mem, M, -1), st.n, k, mem).reshape(st.imap.shape),
         gmap=_shift_ring(st.gmap.reshape(mem, M, *st.gmap.shape[1:]), st.n, k, mem).reshape(st.gmap.shape),
         fmap1=_shift_ring(st.fmap1, st.n, k, mem),

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from devo_tpu.data.normalize import normalize
+from devo_tpu.data.randaug import maybe_voxel_augment
 from devo_tpu.geom import projective as pops
 from devo_tpu.lie import se3
 from devo_tpu.nets.evonet import EVONet
@@ -78,6 +79,7 @@ def evonet_forward(
     ppi: int = 80,
     structure_only: bool = False,
     norm: str = "std2",
+    randaug: bool = False,
 ) -> List[Dict[str, Any]]:
     n_frames, H, W, _ = voxels.shape
     P = net.P
@@ -86,6 +88,10 @@ def evonet_forward(
     axes = None if norm in ("std2", "standard2") else (1, 2, 3)
     voxels = normalize(voxels, "std" if "std" in norm else norm,
                        axes=axes if "std" in norm else None)
+    if randaug:
+        # p=0.33 single-op image augmentation (enet.py:261-269)
+        key, k_aug = jax.random.split(key)
+        voxels = maybe_voxel_augment(voxels, k_aug, norm)
 
     intr4 = intrinsics / 4.0
     disps4 = disps[:, 1::4, 1::4]

@@ -57,11 +57,13 @@ class Trainer:
         flow_weight: float = 0.1,
         scores_weight: float = 0.05,
         mesh: Optional[Mesh] = None,
+        randaug: bool = False,
     ):
         self.net = net or EVONet()
         self.tx, self.sched = make_optimizer(lr, total_steps)
         self.steps_unrolled = steps_unrolled
         self.ppi = ppi
+        self.randaug = randaug
         self.weights = dict(pose_weight=pose_weight, flow_weight=flow_weight,
                             scores_weight=scores_weight)
         if mesh is None:
@@ -76,15 +78,14 @@ class Trainer:
         opt_state = self.tx.init(params)
         return params, opt_state
 
-    def loss_fn(self, params, batch, key, step_count):
+    def loss_fn(self, params, batch, key, step_count, structure_only=False):
         """batch: dict of (B, ...) arrays; per-sample forward vmapped."""
-        structure_only = batch.get("structure_only", False)
 
         def single(voxels, poses, disps, intr, k):
             traj = evonet_forward(
                 self.net, params, voxels, poses, disps, intr, k,
                 steps=self.steps_unrolled, ppi=self.ppi,
-                structure_only=structure_only)
+                structure_only=structure_only, randaug=self.randaug)
             out = total_loss(traj, P=self.net.P,
                              structure_only=structure_only, **{
                                  k2: v for k2, v in self.weights.items()})
@@ -99,9 +100,11 @@ class Trainer:
     def build_train_step(self, donate: bool = True):
         mesh = self.mesh
 
-        def train_step(params, opt_state, batch, key, step_count):
+        def train_step(params, opt_state, batch, key, step_count,
+                       structure_only=False):
             (loss, metrics), grads = jax.value_and_grad(
-                self.loss_fn, has_aux=True)(params, batch, key, step_count)
+                self.loss_fn, has_aux=True)(params, batch, key, step_count,
+                                            structure_only)
             # zero non-finite gradient entries (the reference relies on the
             # same behavior via GradZero/GradientClip, devo/blocks.py:74-107,
             # and clip-NaN swallowing in torch's DDP path); track how often
@@ -125,6 +128,7 @@ class Trainer:
             in_shardings=(repl, repl, batch_sharding, repl, repl),
             out_shardings=(repl, repl, repl),
             donate_argnums=(0, 1) if donate else (),
+            static_argnums=(5,),
         )
         return self._train_step
 

@@ -50,8 +50,13 @@ def main(benchmark: str, family: str):
     subdir = {"rgb": "images_undistorted_calib0", "e2v": "e2v",
               "evs_frame": "evs_frames"}[family]
     args = make_parser(f"{benchmark}:{family}").parse_args()
-    cfg = EVAL_CONFIGS.get(benchmark, EVAL_CONFIGS["default"]).replace(
-        EVS=False, BINS=3, PATCH_SELECTOR="random", NORM="none")
+    # every reference frame driver merges default_rgb.yaml (DPVO settings:
+    # OPT_WINDOW 15, KEYFRAME_THRESH 15, random selector) regardless of the
+    # benchmark's event-mode threshold (evals/eval_rgb/*.py)
+    cfg = EVAL_CONFIGS["default"].replace(
+        EVS=False, BINS=3, PATCH_SELECTOR="random", NORM="none",
+        SCORER_EVAL_MODE="random", SCORER_EVAL_USE_GRID=False,
+        OPTIMIZATION_WINDOW=15, KEYFRAME_THRESH=15.0)
     if args.config_overrides:
         cfg = cfg.replace(**json.loads(args.config_overrides))
     params = load_params(args.weights)

@@ -1,0 +1,78 @@
+"""Capture a jax.profiler trace of the steady-state engine step and print
+the top device ops by total time."""
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from devo_tpu.nets.evonet import EVONet
+    from devo_tpu.runtime.config import VOConfig
+    from devo_tpu.runtime.engine import DEVO
+
+    HT, WD = 480, 640
+    cfg = VOConfig(MOTION_PROBE_THRESH=-1.0)
+    net = EVONet(P=cfg.P, dim_inet=cfg.DIM_INET, dim_fnet=cfg.DIM_FNET,
+                 dim=cfg.DIM, patch_selector=cfg.PATCH_SELECTOR)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, HT, WD, 5)), jax.random.PRNGKey(1))["params"]
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((HT, WD * 2, 5)).astype(np.float32)
+    base *= (rng.random((HT, WD * 2, 5)) < 0.1)
+    intr = np.asarray([320.0, 320.0, WD / 2, HT / 2], np.float32)
+    slam = DEVO(cfg, params, ht=HT, wd=WD, seed=0)
+
+    def frame(i):
+        sh = (3 * i) % WD
+        return base[:, sh:sh + WD]
+
+    for i in range(40):
+        slam(i / 30.0, frame(i), intr)
+    jax.block_until_ready(slam.state.poses)
+
+    logdir = "/tmp/jaxtrace"
+    os.system(f"rm -rf {logdir}")
+    jax.profiler.start_trace(logdir)
+    for i in range(40, 46):
+        slam(i / 30.0, frame(i), intr)
+    jax.block_until_ready(slam.state.poses)
+    jax.profiler.stop_trace()
+
+    files = glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True)
+    print("trace files:", files)
+    if not files:
+        return
+    ev_tot = defaultdict(float)
+    ev_cnt = defaultdict(int)
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            data = json.load(fh)
+        pid_names = {}
+        for e in data.get("traceEvents", []):
+            if e.get("ph") == "M" and e.get("name") == "process_name":
+                pid_names[e["pid"]] = e["args"].get("name", "")
+        for e in data.get("traceEvents", []):
+            if e.get("ph") != "X":
+                continue
+            pname = pid_names.get(e.get("pid"), "")
+            if "TPU" not in pname and "Device" not in pname and "/device" not in pname.lower():
+                continue
+            name = e.get("name", "?")
+            ev_tot[name] += e.get("dur", 0)
+            ev_cnt[name] += 1
+    print(f"{'op':60s} {'total ms':>10s} {'count':>7s}")
+    for name, tot in sorted(ev_tot.items(), key=lambda kv: -kv[1])[:45]:
+        print(f"{name[:60]:60s} {tot / 1e3 / 6:10.3f} {ev_cnt[name]:7d}")
+    print("(total ms is per-frame average over 6 traced frames)")
+
+
+if __name__ == "__main__":
+    main()

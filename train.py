@@ -67,6 +67,10 @@ def main():
     p.add_argument("--flow_weight", type=float, default=0.1)
     p.add_argument("--scores_weight", type=float, default=0.05)
     p.add_argument("--ckpt_every", type=int, default=10_000)
+    p.add_argument("--randaug", action="store_true",
+                   help="enable randAug voxel augmentation (evs only)")
+    p.add_argument("--crop_size", type=int, nargs=2, default=(480, 640),
+                   help="augmentor crop (H W)")
     args = p.parse_args()
 
     import jax
@@ -81,6 +85,7 @@ def main():
     print(f"devices: {n_dev} x {jax.devices()[0].platform}")
 
     dataset = TartanAirEVS(args.datapath, n_frames=args.n_frames,
+                           crop_size=tuple(args.crop_size),
                            cache_path=os.path.join(args.datapath, "fgraph_cache.pkl"))
     print(f"dataset: {len(dataset)} clips")
 
@@ -88,7 +93,7 @@ def main():
     tr = Trainer(net=net, lr=args.lr, total_steps=args.steps,
                  steps_unrolled=args.iters, ppi=args.patches_per_image,
                  pose_weight=args.pose_weight, flow_weight=args.flow_weight,
-                 scores_weight=args.scores_weight)
+                 scores_weight=args.scores_weight, randaug=args.randaug)
 
     loader = data_loader(dataset, args.batch * n_dev, seed=0)
     sample = next(loader)
@@ -108,9 +113,10 @@ def main():
     for step in range(start, args.steps):
         batch = {k: jnp.asarray(v) for k, v in next(loader).items()}
         # structure-only warmup for the first 1k steps (train.py:160)
-        batch["structure_only"] = step < 1000 and args.checkpoint is None
+        structure_only = step < 1000 and args.checkpoint is None
         key, sub = jax.random.split(key)
-        params, opt_state, metrics = step_fn(params, opt_state, batch, sub, step)
+        params, opt_state, metrics = step_fn(params, opt_state, batch, sub,
+                                             step, structure_only)
         logger.push({k: float(v) for k, v in metrics.items()})
 
         if (step + 1) % args.ckpt_every == 0:
