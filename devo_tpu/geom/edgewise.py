@@ -13,11 +13,45 @@ correctness tests cross-check the two implementations.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 
+from devo_tpu.ops.lookup import lookup
+
 MIN_DEPTH = 0.2
+
+
+class LiveWindow(NamedTuple):
+    """Live table window for one-hot lookups (ops/lookup.py): edge indices
+    ii/jj must fall in [frame_base, frame_base + frames) and kk in
+    [frame_base*M, frame_base*M + frames*M). Row gathers from the full
+    buffers lower to ~us-per-row serial loops on TPU; one-hot MXU lookups
+    over the live window are ~500x faster."""
+    frame_base: jnp.ndarray   # () i32 (traced ok)
+    frames: int               # static window length
+
+
+def _tables(poses, intrinsics, flat_patches, ii, jj, kk,
+            window: Optional[LiveWindow]):
+    """Per-edge rows of the three tables, gather or windowed one-hot."""
+    if window is None:
+        return (poses[ii], poses[jj], intrinsics[ii], intrinsics[jj],
+                flat_patches[kk])
+    fb, F = window.frame_base, window.frames
+    M = flat_patches.shape[0] // poses.shape[0]
+    # clamp INTO the window: an out-of-window (masked/padded) edge must read
+    # some real row — an all-zero one-hot would yield zero intrinsics and
+    # NaN coords that poison downstream clips/casts
+    ii = jnp.clip(ii, fb, fb + F - 1)
+    jj = jnp.clip(jj, fb, fb + F - 1)
+    kk = jnp.clip(kk, fb * M, fb * M + F * M - 1)
+    pi = lookup(poses, ii, fb, F)
+    pj = lookup(poses, jj, fb, F)
+    gi = lookup(intrinsics, ii, fb, F)
+    gj = lookup(intrinsics, jj, fb, F)
+    pk = lookup(flat_patches, kk, fb * M, F * M)
+    return pi, pj, gi, gj, pk
 
 
 def _qrot(q, v):
@@ -50,13 +84,6 @@ def _rel_pose(ti, qi, tj, qj):
     return tij, qij
 
 
-def _gather_pose(poses: jnp.ndarray, idx: jnp.ndarray):
-    g = poses[idx]  # (E, 7) — single gather, decomposed immediately
-    t = (g[:, 0], g[:, 1], g[:, 2])
-    q = (g[:, 3], g[:, 4], g[:, 5], g[:, 6])
-    return t, q
-
-
 class EdgeGeometry(NamedTuple):
     """Everything one update iteration needs, in lane-friendly shapes."""
     coords_x: jnp.ndarray   # (E, P*P) reprojected x
@@ -75,6 +102,7 @@ def reproject(
     intrinsics: jnp.ndarray,  # (N, 4)
     ii: jnp.ndarray, jj: jnp.ndarray, kk: jnp.ndarray,
     jacobian: bool = False,
+    window: Optional[LiveWindow] = None,
 ):
     """Reproject patches kk from frame ii into jj; optionally with the
     analytic center-pixel Jacobians (pops.transform semantics)."""
@@ -90,16 +118,16 @@ def reproject(
         PP = patches.shape[-1] // 3
         flat_patches = patches
 
-    ti, qi = _gather_pose(poses, ii)
-    tj, qj = _gather_pose(poses, jj)
+    gp_i, gp_j, intr_i, intr_j, pk = _tables(
+        poses, intrinsics, flat_patches, ii, jj, kk, window)
+    ti = (gp_i[:, 0], gp_i[:, 1], gp_i[:, 2])
+    qi = (gp_i[:, 3], gp_i[:, 4], gp_i[:, 5], gp_i[:, 6])
+    tj = (gp_j[:, 0], gp_j[:, 1], gp_j[:, 2])
+    qj = (gp_j[:, 3], gp_j[:, 4], gp_j[:, 5], gp_j[:, 6])
     tij, qij = _rel_pose(ti, qi, tj, qj)
 
-    intr_i = intrinsics[ii]  # (E, 4)
-    intr_j = intrinsics[jj]
     fx_i, fy_i, cx_i, cy_i = intr_i[:, 0], intr_i[:, 1], intr_i[:, 2], intr_i[:, 3]
     fx_j, fy_j, cx_j, cy_j = intr_j[:, 0], intr_j[:, 1], intr_j[:, 2], intr_j[:, 3]
-
-    pk = flat_patches[kk]                  # (E, 3*PP) single gather
     px = pk[:, :PP]                        # (E, PP)
     py = pk[:, PP:2 * PP]
     pd = pk[:, 2 * PP:]
@@ -178,22 +206,24 @@ def coords_to_corr_format(geo: EdgeGeometry, P: int) -> jnp.ndarray:
 
 def flow_mag_edges(
     poses, patches, intrinsics, ii, jj, kk, beta: float = 0.5,
+    window: Optional[LiveWindow] = None,
 ) -> jnp.ndarray:
     """Per-edge mean flow magnitude (pops.flow_mag over a small edge set).
     Returns (E,) mean over patch pixels."""
-    g0 = reproject(poses, patches, intrinsics, ii, ii, kk)
-    g1 = reproject(poses, patches, intrinsics, ii, jj, kk)
+    g0 = reproject(poses, patches, intrinsics, ii, ii, kk, window=window)
+    g1 = reproject(poses, patches, intrinsics, ii, jj, kk, window=window)
     # translation-only transform: zero out rotation by using identity rel
     # rotation — reproduce pops.transform(tonly=True)
     E = ii.shape[0]
     P2 = g0.coords_x.shape[1]
-    ti, qi = _gather_pose(poses, ii)
-    tj, qj = _gather_pose(poses, jj)
-    tij, qij = _rel_pose(ti, qi, tj, qj)
-    intr_i = intrinsics[ii]
-    intr_j = intrinsics[jj]
     fp = patches.reshape(patches.shape[0], -1) if patches.ndim == 4 else patches
-    pk = fp[kk]
+    gp_i, gp_j, intr_i, intr_j, pk = _tables(
+        poses, intrinsics, fp, ii, jj, kk, window)
+    ti = (gp_i[:, 0], gp_i[:, 1], gp_i[:, 2])
+    qi = (gp_i[:, 3], gp_i[:, 4], gp_i[:, 5], gp_i[:, 6])
+    tj = (gp_j[:, 0], gp_j[:, 1], gp_j[:, 2])
+    qj = (gp_j[:, 3], gp_j[:, 4], gp_j[:, 5], gp_j[:, 6])
+    tij, qij = _rel_pose(ti, qi, tj, qj)
     px = pk[:, :P2]
     py = pk[:, P2:2 * P2]
     pd = pk[:, 2 * P2:]

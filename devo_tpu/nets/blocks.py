@@ -85,11 +85,13 @@ class SoftAgg(nn.Module):
                  sorted_ids: bool = False):
         f = nn.Dense(self.dim, name="f", dtype=self.dtype)(x)
         g = nn.Dense(self.dim, name="g", dtype=self.dtype)(x)
-        agg, _ = fast_segment_softmax_sum(
+        _, agg_e = fast_segment_softmax_sum(
             f.astype(jnp.float32), g.astype(jnp.float32), segment_ids,
             num_segments, mask, sorted_ids=sorted_ids)
-        h = nn.Dense(self.dim, name="h", dtype=self.dtype)(agg)
-        return h[jnp.clip(segment_ids, 0, num_segments - 1)]
+        # h(y)[seg(e)] == h(y[seg(e)]): apply the row-wise Dense to the
+        # per-edge back-projection (a one-hot matmul) instead of gathering
+        # h's output rows — an E-row gather is a serial loop on TPU
+        return nn.Dense(self.dim, name="h", dtype=self.dtype)(agg_e)
 
 
 class LayerNorm1e3(nn.Module):

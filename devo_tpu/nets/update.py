@@ -62,12 +62,22 @@ class Update(nn.Module):
         mask_ix = ((ix >= 0) & mask)[:, None].astype(jnp.float32)
         mask_jx = ((jx >= 0) & mask)[:, None].astype(jnp.float32)
 
-        prev = net[jnp.clip(ix, 0, None)] * mask_ix
+        def take(h, idx, shift):
+            # on the sorted table neighbors are the adjacent rows, so the
+            # lookup is a static shift — an E-row gather lowers to a serial
+            # per-row loop on TPU
+            if kk_sorted:
+                z = jnp.zeros((1, h.shape[1]), h.dtype)
+                return (jnp.concatenate([z, h[:-1]], 0) if shift > 0
+                        else jnp.concatenate([h[1:], z], 0))
+            return h[jnp.clip(idx, 0, None)]
+
+        prev = take(net, ix, +1) * mask_ix
         h1 = nn.Dense(self.dim, name="c1_0", dtype=dt)(prev)
         h1 = nn.relu(h1)
         net = net + nn.Dense(self.dim, name="c1_2", dtype=dt)(h1).astype(jnp.float32)
 
-        nxt = net[jnp.clip(jx, 0, None)] * mask_jx
+        nxt = take(net, jx, -1) * mask_jx
         h2 = nn.Dense(self.dim, name="c2_0", dtype=dt)(nxt)
         h2 = nn.relu(h2)
         net = net + nn.Dense(self.dim, name="c2_2", dtype=dt)(h2).astype(jnp.float32)

@@ -31,7 +31,7 @@ import numpy as np
 
 from devo_tpu.geom import edgewise
 from devo_tpu.lie import se3
-from devo_tpu.ops.graph import onehot_segment_sum, sorted_segment_sum
+from devo_tpu.ops.graph import onehot_segment_sum
 
 
 class BASystem(NamedTuple):
@@ -120,9 +120,12 @@ def assemble(
         w[:, 0] * Jz[:, 0] * r[:, 0] + w[:, 1] * Jz[:, 1] * r[:, 1],
     ], axis=-1)  # (E, 2)
 
-    seg = sorted_segment_sum if kk_sorted else onehot_segment_sum
-    pk_ids = pk if kk_sorted else jnp.clip(pk, 0, n_patches - 1)
-    ECu = seg(jnp.concatenate([Erow, Cu], axis=-1), pk_ids, n_patches)
+    # one-hot matmul in both cases: out-of-range ids (== n_patches, from
+    # masked rows) produce all-zero one-hot rows and contribute nothing.
+    # (The former cumsum-boundary path's c[bounds] gather is a serial
+    # 2.5k-iteration loop on TPU; the matmul is faster and deterministic.)
+    ECu = onehot_segment_sum(jnp.concatenate([Erow, Cu], axis=-1), pk,
+                             n_patches)
     E = ECu[:, :N6].T          # (6N, M)
     C = ECu[:, N6]
     u = ECu[:, N6 + 1]
@@ -190,13 +193,15 @@ def gauss_newton_step(
     structure_only: bool = False,
     depth_clamp: str = "inference",
     kk_sorted: bool = False,
+    geo_window=None,
 ):
     """One Gauss-Newton iteration over the active window.
 
     Mirrors one `itr` of ba_cuda.cu:461-537 (inference) and devo/ba.py:86-182
     (training differs only in gating constants, damping and depth clamping).
     """
-    geo = edgewise.reproject(poses, patches, intrinsics, ii, jj, kk, jacobian=True)
+    geo = edgewise.reproject(poses, patches, intrinsics, ii, jj, kk,
+                             jacobian=True, window=geo_window)
     rx = target[:, 0] - geo.center_x
     ry = target[:, 1] - geo.center_y
 
@@ -231,14 +236,20 @@ def gauss_newton_step(
     # depth retraction (ba_cuda.cu:191-211 / devo/ba.py:175-177); supports
     # both the generic (Mp, 3, P, P) layout and the runtime's flat (Mp, 3PP)
     touched = sys.C > 0
-    slot_idx = kbase + jnp.arange(patch_slots)
+    # the active patch slots are CONTIGUOUS [kbase, kbase + patch_slots):
+    # windowed dynamic slices, not row gathers/scatters (serial loops on TPU)
+    kb = jnp.clip(kbase, 0, patches.shape[0] - patch_slots)
     if patches.ndim == 4:
-        d_old = patches[slot_idx, 2]            # (patch_slots, P, P)
+        P_ = patches.shape[-1]
+        blk = jax.lax.dynamic_slice(
+            patches, (kb, 2, 0, 0), (patch_slots, 1, P_, P_))
+        d_old = blk[:, 0]
         dz = dZ[:, None, None]
         t = touched[:, None, None]
     else:
         PP = patches.shape[-1] // 3
-        d_old = patches[slot_idx, 2 * PP:]      # (patch_slots, PP)
+        blk = jax.lax.dynamic_slice(patches, (kb, 2 * PP), (patch_slots, PP))
+        d_old = blk
         dz = dZ[:, None]
         t = touched[:, None]
     d_new = d_old + dz
@@ -249,9 +260,10 @@ def gauss_newton_step(
         d_new = jnp.clip(d_new, 1e-3, 10.0)
     d_new = jnp.where(t, d_new, d_old)
     if patches.ndim == 4:
-        patches = patches.at[slot_idx, 2].set(d_new, mode="drop")
+        patches = jax.lax.dynamic_update_slice(
+            patches, d_new[:, None], (kb, 2, 0, 0))
     else:
-        patches = patches.at[slot_idx, 2 * PP:].set(d_new, mode="drop")
+        patches = jax.lax.dynamic_update_slice(patches, d_new, (kb, 2 * PP))
     return poses, patches, ok
 
 
@@ -260,7 +272,7 @@ def run_ba(
     t0, t1, kbase, window: int, patch_slots: int, bounds,
     iterations: int = 2, structure_only=None, max_residual: float = 128.0,
     ep: float = 1.0, lm: float = 1e-4, depth_clamp: str = "inference",
-    kk_sorted: bool = False,
+    kk_sorted: bool = False, geo_window=None,
 ):
     """Multi-iteration Gauss-Newton BA (cuda_ba loop, ba_cuda.cu:461-537).
 
@@ -280,7 +292,7 @@ def run_ba(
                     p, q, intrinsics, target, weight, lmbda, ii, jj, kk, mask,
                     t0, t1, kbase, window, patch_slots, bounds, max_residual,
                     ep, lm, structure_only=so, depth_clamp=depth_clamp,
-                    kk_sorted=kk_sorted)[:2]
+                    kk_sorted=kk_sorted, geo_window=geo_window)[:2]
             return fn
 
         poses_, patches_ = jax.lax.cond(

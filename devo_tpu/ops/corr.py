@@ -152,7 +152,8 @@ def corr_window(
         fmap_p, starts, dnums, slice_sizes=(1, WIN, WINX, C),
         mode=jax.lax.GatherScatterMode.CLIP)             # (E, 16, 24, C)
 
-    g = gmap.reshape(-1, PP, C)[kk]                      # (E, PP, C)
+    from .lookup import lookup
+    g = lookup(gmap.reshape(-1, PP * C), kk).reshape(E, PP, C)
     # batched contraction on the MXU: all window x patch-pixel products.
     # output laid out (E, PP, 384) — keeping the 384 window positions on
     # lanes avoids the ~14x tile padding an (E, 16, 24, PP) layout would pay

@@ -199,3 +199,185 @@ def corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, mask, radius=3,
         for fm, lvl in zip(pyramid, levels)
     ]
     return jnp.stack(outs, axis=-1).reshape(E, -1)
+
+
+# =========================================================================
+# Banded-window kernel: native edge order, one contiguous DMA per edge.
+#
+# The feature map is duplicated into overlapped x-bands of width 32 at
+# stride 8 (4x HBM), stored y-major per (slot, band): any 16-row window
+# whose 8-aligned x origin falls in band b = x0/8 is ONE contiguous
+# 16*32*C block — a single-descriptor DMA (the strided 16-descriptor
+# variant above measured 11 us/edge; contiguous restores DMA throughput).
+# Because the window fetch no longer needs a VMEM-resident frame slot, the
+# edges stay in NATIVE table order: no grouping preamble, no permutations,
+# no output re-gather. A scalar-prefetched live-edge count lets whole
+# blocks beyond the packed table prefix skip all work, so cost follows the
+# LIVE edge count, not the bucket capacity.
+# =========================================================================
+
+BWIN = 32         # banded window x-width (16 taps + 8 spread + 8 align)
+
+
+def band_frame(fmap_hw: jnp.ndarray, pad: int = PAD) -> jnp.ndarray:
+    """(H, W, C) feature frame -> (nbx, Hp, 32, C) bf16 overlapped bands
+    with a `pad` zero border (off-image taps must read exact zeros)."""
+    H, W, C = fmap_hw.shape
+    Hp, Wp = H + 2 * pad, W + 2 * pad
+    Wp_b = ((max(Wp - BWIN, 0) + 7) // 8) * 8 + BWIN
+    f = jnp.pad(fmap_hw.astype(jnp.bfloat16),
+                ((pad, pad), (pad, pad + (Wp_b - Wp)), (0, 0)))
+    nbx = (Wp_b - BWIN) // 8 + 1
+    return jnp.stack([f[:, 8 * i:8 * i + BWIN, :] for i in range(nbx)], 0)
+
+
+def banded_shape(H: int, W: int, pad: int = PAD):
+    Hp, Wp = H + 2 * pad, W + 2 * pad
+    Wp_b = ((max(Wp - BWIN, 0) + 7) // 8) * 8 + BWIN
+    return ((Wp_b - BWIN) // 8 + 1, Hp)
+
+
+def _kernel_banded(nlive_ref, slot_ref, band_ref, y0_ref,   # scalar prefetch
+                   g_ref, ry_ref, rx_ref,                   # per-edge VMEM
+                   fmap_hbm,                                # (mem,nbx,Hp,32,C)
+                   out_ref,
+                   win, r0, r1, r2, r3, sems,
+                   *, C: int, PP: int):
+    scratches = (r0, r1, r2, r3)
+    b = pl.program_id(0)
+
+    @pl.when(b * BE < nlive_ref[0])
+    def _run():
+        def win_dma(e):
+            q = b * BE + e
+            return pltpu.make_async_copy(
+                fmap_hbm.at[slot_ref[q], band_ref[q], pl.ds(y0_ref[q], WIN)],
+                win.at[e % K], sems.at[e % K])
+
+        for k in range(IF):
+            win_dma(k).start()
+
+        def edge_body(e, sc):
+            win_dma(e).wait()
+            w2 = win[e % K].reshape(WIN * BWIN, C)
+            R = jax.lax.dot_general(
+                w2, g_ref[e], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (512, 16)
+
+            @pl.when(e + IF < BE)
+            def _():
+                win_dma(e + IF).start()
+
+            sc[:, :BWIN, :] = R.reshape(WIN, BWIN, 16)    # [y, x, pixel]
+            parts = []
+            for p in range(PP):
+                rx8 = pl.multiple_of(rx_ref[e, p] * 8, 8)
+                parts.append(sc[pl.ds(ry_ref[e, p], 8), pl.ds(rx8, 16), p])
+            out_ref[e] = jnp.concatenate(parts, axis=1)   # (8, 16*PP)
+
+        def group(i, _):
+            for k in range(NSC):
+                edge_body(i * NSC + k, scratches[k])
+            return 0
+
+        jax.lax.fori_loop(0, BE // NSC, group, 0)
+
+
+def corr_level_banded(
+    gmap: jnp.ndarray,     # (Mring, P, P, C) patch features (ring)
+    fmap_b: jnp.ndarray,   # (mem, nbx, Hp, 32, C) bf16 banded frames
+    coords: jnp.ndarray,   # (E, P, P, 2) at this level's resolution
+    kk: jnp.ndarray,       # (E,) ring patch index
+    jj: jnp.ndarray,       # (E,) ring frame slot
+    mask: jnp.ndarray,     # (E,) bool
+    n_live,                # () int32 packed live-edge count (<= E)
+    radius: int = 3,
+) -> jnp.ndarray:
+    """(E, 441) correlation ordered [dx, dy, pixel] (one level)."""
+    assert radius == 3, "window constants assume r = 3"
+    from .lookup import lookup
+
+    mem, nbx, Hp, _, C = fmap_b.shape
+    E, P = coords.shape[0], coords.shape[1]
+    PP = P * P
+    R = radius
+
+    x = coords[..., 0].reshape(E, PP).astype(jnp.float32)
+    y = coords[..., 1].reshape(E, PP).astype(jnp.float32)
+    xf = jnp.floor(x)
+    yf = jnp.floor(y)
+    fx = (x - xf).astype(jnp.float32)
+    fy = (y - yf).astype(jnp.float32)
+    xf = xf.astype(jnp.int32)
+    yf = yf.astype(jnp.int32)
+
+    band = jnp.clip((jnp.min(xf, axis=1) - R + PAD) // 8, 0, nbx - 1)
+    y0 = jnp.clip(jnp.min(yf, axis=1) - R + PAD, 0, Hp - WIN)
+    rx = jnp.clip(xf - R + PAD - band[:, None] * 8, 0, BWIN - 9)
+    ry = jnp.clip(yf - R + PAD - y0[:, None], 0, WIN - 8)
+    rx8 = rx // 8            # aligned strip start / 8, in {0, 1, 2}
+    rxo = rx - rx8 * 8
+
+    g = lookup(gmap.reshape(-1, PP * C).astype(jnp.bfloat16),
+               jnp.where(mask, kk, 0)).reshape(E, PP, C)
+    g = jnp.pad(g, ((0, 0), (0, 16 - PP), (0, 0)))
+
+    slot_g = jnp.where(mask, jj, 0).astype(jnp.int32)
+    band_g = jnp.where(mask, band, 0).astype(jnp.int32)
+    y0_g = jnp.where(mask, y0, 0).astype(jnp.int32)
+    ry_g = jnp.pad(ry, ((0, 0), (0, 16 - PP))).astype(jnp.int32)
+    rx_g = jnp.pad(rx8, ((0, 0), (0, 16 - PP))).astype(jnp.int32)
+    nlive = jnp.asarray(n_live, jnp.int32).reshape(1)
+
+    EP = ((E + BE - 1) // BE) * BE
+    if EP != E:  # small edge sets (the motion probe) pad up to one block
+        padn = EP - E
+        pad1 = lambda a: jnp.pad(a, [(0, padn)] + [(0, 0)] * (a.ndim - 1))
+        slot_g, band_g, y0_g = pad1(slot_g), pad1(band_g), pad1(y0_g)
+        ry_g, rx_g, g = pad1(ry_g), pad1(rx_g), pad1(g)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(EP // BE,),
+        in_specs=[
+            pl.BlockSpec((BE, 16, C), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),        # g
+            pl.BlockSpec((BE, 16), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),        # ry
+            pl.BlockSpec((BE, 16), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),        # rx8
+            pl.BlockSpec(memory_space=pl.ANY),            # fmap_b (HBM)
+        ],
+        out_specs=pl.BlockSpec((BE, 8, 16 * PP), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((K, WIN, BWIN, C), jnp.bfloat16),  # window ring
+            pltpu.VMEM((WIN, BWIN + 8, 16), jnp.float32),
+            pltpu.VMEM((WIN, BWIN + 8, 16), jnp.float32),
+            pltpu.VMEM((WIN, BWIN + 8, 16), jnp.float32),
+            pltpu.VMEM((WIN, BWIN + 8, 16), jnp.float32),
+            pltpu.SemaphoreType.DMA((K,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_banded, C=C, PP=PP),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((EP, 8, 16 * PP), jnp.float32),
+    )(nlive, slot_g, band_g, y0_g, g, ry_g, rx_g, fmap_b)
+
+    from .corr import blend_strips
+    return blend_strips(out[:E], fx, fy, rxo, mask, PP)
+
+
+def corr_pyramid_banded(gmap, banded_pyramid, coords, kk, jj, mask, n_live,
+                        radius=3, levels=(1, 4)):
+    """Two-level pyramid over banded feature rings; output ordering matches
+    ops/corr.corr_pyramid ([dx, dy, pixel, level])."""
+    E = coords.shape[0]
+    outs = [
+        corr_level_banded(gmap, fb, coords / lvl, kk, jj, mask, n_live,
+                          radius=radius)
+        for fb, lvl in zip(banded_pyramid, levels)
+    ]
+    return jnp.stack(outs, axis=-1).reshape(E, -1)

@@ -50,8 +50,11 @@ class VOConfig:
     # TPU static capacities
     MEM: int = 32                        # feature ring buffer (devo.py:69)
     EDGE_CAP: int = 0                    # 0 -> auto from the bound below
-    CORR_IMPL: str = "window"            # "window" (slice-gather + MXU),
-                                         # "pallas" (VMEM-resident kernel),
+    CORR_IMPL: str = "banded"            # "banded" (per-edge contiguous-DMA
+                                         #   Pallas kernel, live-count early
+                                         #   exit — the fast path),
+                                         # "window" (slice-gather + MXU),
+                                         # "pallas" (grouped VMEM-resident),
                                          # "gather" (naive reference form)
 
     def __post_init__(self):

@@ -45,6 +45,7 @@ from devo_tpu.ops import ba as ba_ops
 from devo_tpu.ops import corr as corr_ops
 from devo_tpu.ops import corr_pallas
 from devo_tpu.ops import graph as graph_ops
+from devo_tpu.ops import lookup as lookup_ops
 
 from .config import VOConfig
 
@@ -65,6 +66,10 @@ class VOState(NamedTuple):
     gmap: jnp.ndarray         # (mem*M, P, P, Df)
     fmap1: jnp.ndarray        # (mem, h1, w1, Df)
     fmap2: jnp.ndarray        # (mem, h1//4, w1//4, Df)
+    # banded duplicates for the corr kernel (ops/corr_pallas.py:band_frame):
+    # overlapped x-bands make every correlation window one contiguous DMA
+    fmap1b: jnp.ndarray       # (mem, nbx1, Hp1, 32, Df) bf16
+    fmap2b: jnp.ndarray       # (mem, nbx2, Hp2, 32, Df) bf16
 
     # packed, (kk, jj)-sorted edge table
     ii: jnp.ndarray           # (E,) i32 source frame
@@ -90,6 +95,13 @@ class StepAux(NamedTuple):
     kf_t0: jnp.ndarray       # () i32 counter stamp of predecessor
     kf_t1: jnp.ndarray       # () i32 counter stamp of removed frame
     kf_dP: jnp.ndarray       # (7,) relative pose P_k * P_{k-1}^-1
+    n_edges: jnp.ndarray     # () i32 live edge count (un-donated copy the
+                             # host can prefetch without touching the state)
+
+
+def _banded_dims(h: int, w: int):
+    nbx, hp = corr_pallas.banded_shape(h, w)
+    return (nbx, hp, corr_pallas.BWIN)
 
 
 def init_state(cfg: VOConfig, ht: int, wd: int, seed: int = 0,
@@ -109,6 +121,10 @@ def init_state(cfg: VOConfig, ht: int, wd: int, seed: int = 0,
         gmap=jnp.zeros((mem * M, P, P, cfg.DIM_FNET), fdt),
         fmap1=jnp.zeros((mem, h1, w1, cfg.DIM_FNET), fdt),
         fmap2=jnp.zeros((mem, h1 // 4, w1 // 4, cfg.DIM_FNET), fdt),
+        fmap1b=jnp.zeros((mem,) + _banded_dims(h1, w1) + (cfg.DIM_FNET,),
+                         jnp.bfloat16),
+        fmap2b=jnp.zeros((mem,) + _banded_dims(h1 // 4, w1 // 4)
+                         + (cfg.DIM_FNET,), jnp.bfloat16),
         ii=jnp.zeros((E,), jnp.int32),
         jj=jnp.zeros((E,), jnp.int32),
         kk=jnp.zeros((E,), jnp.int32),
@@ -222,18 +238,33 @@ def _segment_ids(cfg: VOConfig, st: VOState):
 
 # ------------------------------------------------------------------- update
 
+def _live_window(cfg: VOConfig, st: VOState) -> edgewise.LiveWindow:
+    """Frame window covering every live edge index (incl. the motion
+    probe's jj = n): one-hot lookups replace serial row-gather loops."""
+    return edgewise.LiveWindow(
+        jnp.maximum(st.n - (cfg.MEM - 6), 0).astype(jnp.int32), cfg.MEM)
+
+
 def _edge_features(cfg: VOConfig, st: VOState, ii, jj, kk, mask=None):
     """Reproject + 2-level correlation + context for a set of edges
     (devo.py:210-223, 308-314)."""
     M, mem, P = cfg.M, cfg.MEM, cfg.P
-    geo = edgewise.reproject(st.poses, st.patches, st.intrinsics, ii, jj, kk)
+    geo = edgewise.reproject(st.poses, st.patches, st.intrinsics, ii, jj, kk,
+                             window=_live_window(cfg, st))
     coords = edgewise.coords_to_corr_format(geo, P)
     kk_ring = (kk % (M * mem)).astype(jnp.int32)
     jj_ring = (jj % mem).astype(jnp.int32)
     if mask is None:
         mask = jnp.ones(ii.shape, bool)
     impl = cfg.CORR_IMPL if jax.default_backend() == "tpu" else "gather"
-    if impl == "pallas":
+    if impl == "banded":
+        # the table is packed, so the mask is a prefix and its sum is the
+        # live count the kernel's block early-exit needs
+        n_live = jnp.sum(mask).astype(jnp.int32)
+        corr_feat = corr_pallas.corr_pyramid_banded(
+            st.gmap, (st.fmap1b, st.fmap2b), coords, kk_ring, jj_ring, mask,
+            n_live, radius=cfg.CORR_RADIUS, levels=cfg.CORR_LEVELS)
+    elif impl == "pallas":
         corr_feat = corr_pallas.corr_pyramid_pallas(
             st.gmap, (st.fmap1, st.fmap2), coords, kk_ring, jj_ring, mask,
             radius=cfg.CORR_RADIUS, levels=cfg.CORR_LEVELS)
@@ -247,7 +278,7 @@ def _edge_features(cfg: VOConfig, st: VOState, ii, jj, kk, mask=None):
         corr_feat = corr_ops.corr_pyramid(
             st.gmap, (st.fmap1, st.fmap2), coords.astype(cdtype), kk_ring,
             jj_ring, radius=cfg.CORR_RADIUS, levels=cfg.CORR_LEVELS)
-    ctx = st.imap[kk_ring]
+    ctx = lookup_ops.lookup(st.imap, kk_ring)   # one-hot, not a gather loop
     return geo, corr_feat.astype(jnp.float32), ctx.astype(jnp.float32)
 
 
@@ -282,7 +313,8 @@ def _update_once(net: EVONet, params, cfg: VOConfig, st: VOState) -> VOState:
         t0=t0, t1=st.n, kbase=kbase, window=cfg.ba_window,
         patch_slots=cfg.patch_slots, bounds=bounds, iterations=2,
         structure_only=jnp.asarray(False), max_residual=128.0,
-        ep=1.0, lm=1e-4, depth_clamp="inference", kk_sorted=True)
+        ep=1.0, lm=1e-4, depth_clamp="inference", kk_sorted=True,
+        geo_window=_live_window(cfg, st))
 
     return st._replace(poses=poses, patches=patches, enet=enet)
 
@@ -310,16 +342,16 @@ def _motion_probe(net: EVONet, params, cfg: VOConfig, st: VOState):
 # ----------------------------------------------------------------- keyframe
 
 def _motionmag(cfg: VOConfig, st: VOState, i, j):
-    """Mean flow magnitude over edges (i -> j) (devo.py:258-265), computed
-    on the <= M matching edges only (gathered via fixed-size nonzero)."""
-    M = cfg.M
+    """Mean flow magnitude over edges (i -> j) (devo.py:258-265). Computed
+    as a masked mean over the full table — flow_mag is cheap vector math,
+    whereas a fixed-size nonzero gather lowers to a serial per-row loop."""
     sel = (st.ii == i) & (st.jj == j) & st.emask
-    idx = jnp.where(sel, size=M, fill_value=0)[0]
-    found = sel[idx]
     fm = edgewise.flow_mag_edges(st.poses, st.patches, st.intrinsics,
-                                 st.ii[idx], st.jj[idx], st.kk[idx], beta=0.5)
-    cnt = jnp.sum(found)
-    return jnp.where(cnt > 0, jnp.sum(fm * found) / jnp.maximum(cnt, 1), 0.0)
+                                 st.ii, st.jj, st.kk, beta=0.5,
+                                 window=_live_window(cfg, st))
+    cnt = jnp.sum(sel)
+    s = jnp.sum(jnp.where(sel, fm, 0.0))
+    return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), 0.0)
 
 
 def _shift_ring(buf: jnp.ndarray, n, k, mem: int):
@@ -369,6 +401,8 @@ def _remove_keyframe(cfg: VOConfig, st: VOState, k) -> VOState:
         gmap=_shift_ring(st.gmap.reshape(mem, M, *st.gmap.shape[1:]), st.n, k, mem).reshape(st.gmap.shape),
         fmap1=_shift_ring(st.fmap1, st.n, k, mem),
         fmap2=_shift_ring(st.fmap2, st.n, k, mem),
+        fmap1b=_shift_ring(st.fmap1b, st.n, k, mem),
+        fmap2b=_shift_ring(st.fmap2b, st.n, k, mem),
         n=st.n - 1,
     )
 
@@ -451,6 +485,8 @@ def _write_frame(net: EVONet, params, cfg: VOConfig, st: VOState,
         gmap=jax.lax.dynamic_update_slice(st.gmap, gmap_p.astype(fdt), ((n % mem) * M, 0, 0, 0)),
         fmap1=st.fmap1.at[n % mem].set(fmap.astype(fdt)),
         fmap2=st.fmap2.at[n % mem].set(fmap2.astype(fdt)),
+        fmap1b=st.fmap1b.at[n % mem].set(corr_pallas.band_frame(fmap)),
+        fmap2b=st.fmap2b.at[n % mem].set(corr_pallas.band_frame(fmap2)),
         counter=st.counter + 1,
     )
 
@@ -459,7 +495,9 @@ def make_step(net: EVONet, cfg: VOConfig):
     """Build the jitted per-frame tracking step."""
 
     def step(params, st: VOState, voxel, intrinsics) -> Tuple[VOState, StepAux]:
-        # voxel: (H, W, bins) f32; intrinsics: (4,)
+        # voxel: (H, W, bins), any float dtype (the host transfers f16 —
+        # half the tunnel bytes; values are event counts, exact in f16)
+        voxel = voxel.astype(jnp.float32)
         key, key_sel = jax.random.split(st.rng)
         st = st._replace(rng=key)
 
@@ -475,7 +513,7 @@ def make_step(net: EVONet, cfg: VOConfig):
 
         def do_skip(st):
             aux = StepAux(jnp.int32(0), jnp.asarray(False), jnp.int32(0),
-                          jnp.int32(0), se3.identity())
+                          jnp.int32(0), se3.identity(), st.n_edges + 0)
             return st, aux
 
         def do_track(st):
@@ -488,7 +526,7 @@ def make_step(net: EVONet, cfg: VOConfig):
 
             def rejected(st):
                 aux = StepAux(jnp.int32(1), jnp.asarray(False), jnp.int32(0),
-                              jnp.int32(0), se3.identity())
+                              jnp.int32(0), se3.identity(), st.n_edges + 0)
                 return st, aux
 
             def accepted(st):
@@ -517,7 +555,8 @@ def make_step(net: EVONet, cfg: VOConfig):
                     lambda s: jax.lax.cond(s.initialized, do_steady, do_nothing, s),
                     st)
                 aux = StepAux(jnp.int32(2), kf_aux["kf_removed"],
-                              kf_aux["kf_t0"], kf_aux["kf_t1"], kf_aux["kf_dP"])
+                              kf_aux["kf_t0"], kf_aux["kf_t1"],
+                              kf_aux["kf_dP"], st.n_edges + 0)
                 return st, aux
 
             return jax.lax.cond(probe_ok, accepted, rejected, st)
@@ -528,6 +567,49 @@ def make_step(net: EVONet, cfg: VOConfig):
 
 
 # ----------------------------------------------------------------- host API
+
+class _EdgeCountSampler:
+    """Background reader of the per-step live edge count.
+
+    Any synchronous device read through the axon tunnel costs a flat ~31 ms
+    round-trip (PERF_NOTES.md); sampling on a daemon thread keeps the main
+    loop free of syncs. The rebucketing margin grows with the sample's
+    frame lag, so a stale value is safe, just conservative."""
+
+    def __init__(self):
+        import threading
+        self._lock = threading.Lock()
+        self._ev = threading.Event()
+        self._pending = None
+        self.latest = None            # (frame_idx, count)
+        t = threading.Thread(target=self._run, daemon=True)
+        t.start()
+
+    def submit(self, frame_idx, arr):
+        with self._lock:
+            self._pending = (frame_idx, arr)
+        self._ev.set()
+
+    def _run(self):
+        while True:
+            self._ev.wait()
+            with self._lock:
+                item, self._pending = self._pending, None
+                self._ev.clear()
+            if item is None:
+                continue
+            f, arr = item
+            try:
+                v = int(arr)          # blocks in this thread only
+            except Exception:
+                continue
+            with self._lock:
+                self.latest = (f, v)
+
+    def read(self):
+        with self._lock:
+            return self.latest
+
 
 class DEVO:
     """Host-side orchestrator mirroring the reference engine's interface
@@ -547,14 +629,21 @@ class DEVO:
         # caches one executable per bucket). The per-frame growth is bounded
         # by one append block, so a one-frame-lagged count + margin is safe.
         self._block = cfg.M * (2 * cfg.PATCH_LIFETIME - 1)
-        caps = sorted({self._round_cap(cfg.EDGE_CAP // k) for k in (6, 3, 2, 1)}
-                      | {self._round_cap(12 * self._block)})
+        # finer steps in the steady-state range (~12-20k live at M=96):
+        # every per-edge op scales with the bucket, so -25% bucket = -25%
+        # frame time; coarser above (each bucket is one XLA executable)
+        caps = sorted({self._round_cap(c) for c in (
+            12 * self._block // 2, 12 * self._block,
+            cfg.EDGE_CAP // 4, cfg.EDGE_CAP // 3, cfg.EDGE_CAP // 2,
+            2 * cfg.EDGE_CAP // 3, cfg.EDGE_CAP)})
         self._caps = [c for c in caps if c <= self._round_cap(cfg.EDGE_CAP)]
         self.state = init_state(cfg, ht, wd, seed, edge_cap=self._caps[0])
         self.step_fn = make_step(self.net, cfg)
         self._update_fn = jax.jit(
             lambda p, s: _update_once(self.net, p, self.cfg, s),
             donate_argnums=(1,))
+        self._sampler = _EdgeCountSampler()
+        self._frame_idx = 0
         self.tlist = []            # real timestamps of counted frames
         self.aux_log = []          # device aux records (lazy)
 
@@ -568,13 +657,20 @@ class DEVO:
         host to the previous step); growth between checks is bounded by one
         append block per frame, covered by the margin."""
         self._frames_since_check = getattr(self, "_frames_since_check", 0) + 1
-        if self._frames_since_check < 4 and self.state.ii.shape[0] > 0 \
+        if self._frames_since_check < 2 and self.state.ii.shape[0] > 0 \
                 and getattr(self, "_checked_once", False):
             return
         self._frames_since_check = 0
         self._checked_once = True
-        ne = int(self.state.n_edges)   # syncs the previous frame only
-        need = ne + 5 * self._block
+        cur = getattr(self, "_frame_idx", 0)
+        sample = self._sampler.read()
+        if sample is None:
+            # startup only: one synchronous read
+            sample = (cur, int(self.state.n_edges))
+        f, ne = sample
+        # worst-case growth = one append block per frame between the
+        # sampled frame and the next check (+1 safety)
+        need = ne + (min(cur - f, 8) + 3) * self._block
         cap = self.state.ii.shape[0]
         target = next((c for c in self._caps if c >= need), self._caps[-1])
         if target == cap or (target < cap and need > cap // 2):
@@ -591,16 +687,29 @@ class DEVO:
         self.state = st._replace(ii=fit(st.ii), jj=fit(st.jj), kk=fit(st.kk),
                                  enet=fit(st.enet))
 
+    def upload(self, voxel) -> jax.Array:
+        """Host->device voxel transfer in f16 (half the bytes; event counts
+        are exact in f16 and the step casts back to f32 on device). Callers
+        may run this on a prefetch thread to overlap the transfer with the
+        previous frame's compute (the reference's multiprocessing loaders
+        hide the same latency, load_utils.py:119-131)."""
+        if isinstance(voxel, np.ndarray) and voxel.dtype != np.float16:
+            voxel = np.ascontiguousarray(voxel, dtype=np.float16)
+        return jnp.asarray(voxel)
+
     def __call__(self, tstamp, voxel, intrinsics):
         """voxel: (H, W, bins) numpy/jax array; intrinsics: (4,)."""
         if voxel.shape[-2] == 346:  # MVSEC/FPV width hack (devo.py:466-467)
             voxel = voxel[:, 1:-1, :]
         self._rebucket()
-        st, aux = self.step_fn(self.params, self.state,
-                               jnp.asarray(voxel, jnp.float32),
+        if not isinstance(voxel, jax.Array):
+            voxel = self.upload(voxel)
+        st, aux = self.step_fn(self.params, self.state, voxel,
                                jnp.asarray(intrinsics, jnp.float32))
         self.state = st
         self.aux_log.append((tstamp, aux))
+        self._frame_idx = getattr(self, "_frame_idx", 0) + 1
+        self._sampler.submit(self._frame_idx, aux.n_edges)
 
     def update(self):
         """Extra refinement update (used by the eval harness's 12 final

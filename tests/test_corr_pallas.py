@@ -56,3 +56,46 @@ def test_pallas_corr_out_of_bounds_taps_zero():
     with pltpu.force_tpu_interpret_mode():
         got = corr_pallas.corr_level_pallas(gmap, fmap, coords, kk, jj, mask)
     np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_banded_corr_matches_xla(seed):
+    gmap, fmap, coords, kk, jj, mask = make_case(seed, E=24)
+    gb = gmap.astype(jnp.bfloat16).astype(jnp.float32)
+    fb = fmap.astype(jnp.bfloat16).astype(jnp.float32)
+    want = corr_ops.corr(gb, fb, coords, kk, jj, radius=3)
+    want = np.asarray(want) * np.asarray(mask)[:, None]
+    fmap_b = jnp.stack([corr_pallas.band_frame(f) for f in fmap])
+    with pltpu.force_tpu_interpret_mode():
+        got = corr_pallas.corr_level_banded(
+            gmap, fmap_b, coords, kk, jj, mask, n_live=coords.shape[0])
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
+
+
+def test_banded_corr_early_exit_blocks():
+    """Blocks past n_live are skipped; the prefix must still be exact."""
+    E = 2 * corr_pallas.BE
+    gmap, fmap, coords, kk, jj, _ = make_case(4, E=E)
+    live = corr_pallas.BE - 8
+    mask = jnp.arange(E) < live
+    gb = gmap.astype(jnp.bfloat16).astype(jnp.float32)
+    fb = fmap.astype(jnp.bfloat16).astype(jnp.float32)
+    want = corr_ops.corr(gb, fb, coords, kk, jj, radius=3)
+    want = np.asarray(want) * np.asarray(mask)[:, None]
+    fmap_b = jnp.stack([corr_pallas.band_frame(f) for f in fmap])
+    with pltpu.force_tpu_interpret_mode():
+        got = corr_pallas.corr_level_banded(
+            gmap, fmap_b, coords, kk, jj, mask, n_live=live)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
+
+
+def test_banded_corr_pyramid_shapes():
+    gmap, fmap, coords, kk, jj, mask = make_case(5, E=16)
+    fmap2 = fmap.reshape(fmap.shape[0], fmap.shape[1] // 4, 4,
+                         fmap.shape[2] // 4, 4, -1).mean((2, 4))
+    pyr = (jnp.stack([corr_pallas.band_frame(f) for f in fmap]),
+           jnp.stack([corr_pallas.band_frame(f) for f in fmap2]))
+    with pltpu.force_tpu_interpret_mode():
+        out = corr_pallas.corr_pyramid_banded(
+            gmap, pyr, coords, kk, jj, mask, n_live=16)
+    assert out.shape == (16, 2 * 49 * 9)
