@@ -144,21 +144,30 @@ def _gather_edges(st: VOState, src: jnp.ndarray) -> VOState:
                        enet=st.enet[src])
 
 
+def _ss(table: jnp.ndarray, queries: jnp.ndarray, side: str) -> jnp.ndarray:
+    """searchsorted as a dense compare-reduce. jnp.searchsorted's binary
+    search lowers to a ~log2(E)-step while loop with a full-table gather per
+    step (~2.5 ms at E=15k); the (Q, T) compare matrix fuses into its sum
+    and runs on the VPU in ~0.2 ms."""
+    cmp = (table[None, :] <= queries[:, None] if side == "right"
+           else table[None, :] < queries[:, None])
+    return jnp.sum(cmp, axis=1, dtype=jnp.int32)
+
+
 def _remove_and_pack(st: VOState, drop: jnp.ndarray) -> VOState:
     """Drop edges and re-pack, preserving order (stable partition via a
-    prefix-sum + searchsorted — jnp.where(size=...) would lower to a sort)."""
+    prefix-sum + dense rank search — jnp.where(size=) would sort)."""
     E = st.ii.shape[0]
     keep = st.emask & ~drop
     csum = jnp.cumsum(keep.astype(jnp.int32))
-    # src[r] = index of the (r+1)-th kept edge
-    src = jnp.searchsorted(csum, jnp.arange(1, E + 1, dtype=jnp.int32),
-                           side="left").astype(jnp.int32)
+    # src[r] = index of the (r+1)-th kept edge = #\{csum <= r\}
+    src = _ss(csum, jnp.arange(E, dtype=jnp.int32), "right")
     src = jnp.minimum(src, E - 1)
     st = _gather_edges(st, src)
     return st._replace(n_edges=csum[-1])
 
 
-def _append_edges(cfg: VOConfig, st: VOState) -> VOState:
+def _append_edges(cfg: VOConfig, st: VOState, drop=None) -> VOState:
     """Append the new frame's factors while keeping the table sorted+packed
     (devo.py:361-380, 541-542). Called after n was incremented; the new
     frame is n-1.
@@ -166,14 +175,19 @@ def _append_edges(cfg: VOConfig, st: VOState) -> VOState:
     Forward edges (one per live patch, jj = n-1 = max) merge at each patch
     segment's end; the backward block (new patches = max kk) appends at the
     tail. Both positions follow from rank arithmetic on the sorted table.
+    An optional `drop` mask removes edges in the SAME merge pass — the
+    per-frame removal-window purge (devo.py:305-306) folds in here for free
+    (no update runs between the reference's purge and the next append).
     """
     M, r = cfg.M, cfg.PATCH_LIFETIME
     E = st.ii.shape[0]
     n = st.n
-    Ne = st.n_edges
     Di = st.enet.shape[1]
 
-    kk_key = jnp.where(st.emask, st.kk, INT_MAX)
+    keep = st.emask if drop is None else (st.emask & ~drop)
+    kk_key = jnp.where(keep, st.kk, INT_MAX)
+    csum = jnp.cumsum(keep.astype(jnp.int32))
+    Ne = csum[-1]
 
     # ---- forward edges: patches of frames [n-r, n-1) -> frame n-1
     F = M * (r - 1)
@@ -181,15 +195,19 @@ def _append_edges(cfg: VOConfig, st: VOState) -> VOState:
     fpatch = pstart + jnp.arange(F, dtype=jnp.int32)
     fvalid = fpatch < M * (n - 1)           # prefix (fpatch ascending)
     n_f = jnp.sum(fvalid).astype(jnp.int32)
-    seg_end = jnp.searchsorted(kk_key, fpatch, side="right").astype(jnp.int32)
+    # insert position in the compacted kept table: #kept rows with kk <= f
+    seg_end = jnp.sum((kk_key[None, :] <= fpatch[:, None]) & keep[None, :],
+                      axis=1, dtype=jnp.int32)
     ins_pos = jnp.where(fvalid, seg_end + jnp.arange(F, dtype=jnp.int32), INT_MAX)
 
-    # ---- merge old + forward into positions [0, Ne + n_f)
+    # ---- merge kept + forward into positions [0, Ne + n_f)
     p = jnp.arange(E, dtype=jnp.int32)
-    cnt_before = jnp.searchsorted(ins_pos, p, side="right").astype(jnp.int32)
-    ins_idx = jnp.searchsorted(ins_pos, p, side="left").astype(jnp.int32)
+    cnt_before = _ss(ins_pos, p, "right")
+    ins_idx = _ss(ins_pos, p, "left")
     is_ins = ins_pos[jnp.clip(ins_idx, 0, F - 1)] == p
-    src_old = jnp.clip(p - cnt_before, 0, E - 1)
+    # rank among kept rows -> original row index
+    q = jnp.clip(p - cnt_before, 0, E - 1)
+    src_old = jnp.minimum(_ss(csum, q, "right"), E - 1)
     fsel = jnp.clip(ins_idx, 0, F - 1)
 
     new_kk = jnp.where(is_ins, fpatch[fsel], st.kk[src_old])
@@ -354,14 +372,16 @@ def _motionmag(cfg: VOConfig, st: VOState, i, j):
     return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), 0.0)
 
 
-def _shift_ring(buf: jnp.ndarray, n, k, mem: int):
-    """Ring-buffer shift for keyframe removal (devo.py:297-300): slot s takes
-    the content of frame i_s+1 for the unique i_s in [k, n-1) mapping to s."""
-    s = jnp.arange(mem)
-    i_s = (n - 2) - ((n - 2 - s) % mem)
-    valid = (i_s >= k) & (i_s >= 0)
-    src = jnp.where(valid, (i_s + 1) % mem, s)
-    return buf[src]
+def _shift_ring(buf: jnp.ndarray, n, k, mem: int, L: int):
+    """Ring-buffer shift for keyframe removal (devo.py:297-300): the slots
+    of frames k .. n-2 (a static L = KEYFRAME_INDEX-1 of them) take the next
+    frame's content. Single-slot dynamic moves — a whole-ring gather reads
+    the full buffer (755 MB for the banded level-1 features)."""
+    for j in range(L):
+        src = jax.lax.dynamic_index_in_dim(buf, (k + j + 1) % mem, 0,
+                                           keepdims=False)
+        buf = jax.lax.dynamic_update_index_in_dim(buf, src, (k + j) % mem, 0)
+    return buf
 
 
 def _remove_keyframe(cfg: VOConfig, st: VOState, k) -> VOState:
@@ -397,12 +417,12 @@ def _remove_keyframe(cfg: VOConfig, st: VOState, k) -> VOState:
         intrinsics=shift_frames(st.intrinsics),
         colors=shift_frames(st.colors),
         patches=shift_frames(st.patches.reshape(N, -1)).reshape(st.patches.shape),
-        imap=_shift_ring(st.imap.reshape(mem, M, -1), st.n, k, mem).reshape(st.imap.shape),
-        gmap=_shift_ring(st.gmap.reshape(mem, M, *st.gmap.shape[1:]), st.n, k, mem).reshape(st.gmap.shape),
-        fmap1=_shift_ring(st.fmap1, st.n, k, mem),
-        fmap2=_shift_ring(st.fmap2, st.n, k, mem),
-        fmap1b=_shift_ring(st.fmap1b, st.n, k, mem),
-        fmap2b=_shift_ring(st.fmap2b, st.n, k, mem),
+        imap=_shift_ring(st.imap.reshape(mem, M, -1), st.n, k, mem, L).reshape(st.imap.shape),
+        gmap=_shift_ring(st.gmap.reshape(mem, M, *st.gmap.shape[1:]), st.n, k, mem, L).reshape(st.gmap.shape),
+        fmap1=_shift_ring(st.fmap1, st.n, k, mem, L),
+        fmap2=_shift_ring(st.fmap2, st.n, k, mem, L),
+        fmap1b=_shift_ring(st.fmap1b, st.n, k, mem, L),
+        fmap2b=_shift_ring(st.fmap2b, st.n, k, mem, L),
         n=st.n - 1,
     )
 
@@ -422,9 +442,8 @@ def _keyframe(cfg: VOConfig, st: VOState) -> Tuple[VOState, Dict[str, jnp.ndarra
 
     st = jax.lax.cond(remove, lambda s: _remove_keyframe(cfg, s, k), lambda s: s, st)
 
-    # purge edges beyond the removal window (devo.py:305-306)
-    purge = ((st.kk // cfg.M) < (st.n - cfg.REMOVAL_WINDOW)) & st.emask
-    st = _remove_and_pack(st, purge)
+    # NB: the removal-window purge (devo.py:305-306) is folded into the next
+    # frame's _append_edges merge — one fewer full-table pack per frame
 
     aux = dict(kf_removed=remove, kf_t0=t0, kf_t1=t1, kf_dP=dP)
     return st, aux
@@ -531,7 +550,11 @@ def make_step(net: EVONet, cfg: VOConfig):
 
             def accepted(st):
                 st = st._replace(n=st.n + 1)
-                st = _append_edges(cfg, st)
+                # the previous frame's purge, applied in the same merge
+                # (bound uses the pre-increment n, matching devo.py:305-306)
+                purge = ((st.kk // cfg.M)
+                         < (st.n - 1 - cfg.REMOVAL_WINDOW)) & st.emask
+                st = _append_edges(cfg, st, drop=purge)
 
                 def do_init(st):
                     st = st._replace(initialized=jnp.asarray(True))
