@@ -50,6 +50,10 @@ class VOConfig:
     # TPU static capacities
     MEM: int = 32                        # feature ring buffer (devo.py:69)
     EDGE_CAP: int = 0                    # 0 -> auto from the bound below
+    VOXEL_WIRE: str = "i8"               # host->device wire format: "i8"
+                                         #   (per-frame-scaled int8, 4x
+                                         #   fewer tunnel bytes), "f16",
+                                         #   "f32" (lossless, parity runs)
     CORR_IMPL: str = "banded"            # "banded" (per-edge contiguous-DMA
                                          #   Pallas kernel, live-count early
                                          #   exit — the fast path),
