@@ -202,7 +202,7 @@ def corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, mask, radius=3,
 
 
 # =========================================================================
-# Banded-window kernel: native edge order, one contiguous DMA per edge.
+# Banded-window kernel: one contiguous DMA per edge.
 #
 # The feature map is duplicated into overlapped x-bands of width 32 at
 # stride 8 (4x HBM), stored y-major per (slot, band): any 16-row window
@@ -210,36 +210,50 @@ def corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, mask, radius=3,
 # 16*32*C block — a single-descriptor DMA (the strided 16-descriptor
 # variant above measured 11 us/edge; contiguous restores DMA throughput).
 # Because the window fetch no longer needs a VMEM-resident frame slot, the
-# edges stay in NATIVE table order: no grouping preamble, no permutations,
-# no output re-gather. A scalar-prefetched live-edge count lets whole
-# blocks beyond the packed table prefix skip all work, so cost follows the
-# LIVE edge count, not the bucket capacity.
+# edges need no grouping preamble, no permutations, no output re-gather.
+# A scalar-prefetched live-edge count lets whole blocks beyond the packed
+# table prefix skip all work, so cost follows the LIVE edge count, not the
+# bucket capacity.
+#
+# The per-slot pitch is STAGGERED by 3 rows (24 KB): groups of DMAs whose
+# addresses are identical except the slot field (the dominant pattern —
+# one patch correlated against every frame of the window) otherwise hit
+# HBM at a uniform pitch that aliases the same translation/bank sets and
+# run ~10000x slower (5520 ms vs 0.42 ms for the same work at E=12k,
+# measured in scripts/bench_banded_ablate.py's flat-stagger probe).
 # =========================================================================
 
 BWIN = 32         # banded window x-width (16 taps + 8 spread + 8 align)
+STAGGER = 3       # extra rows per slot de-aliasing the slot pitch
 
 
 def band_frame(fmap_hw: jnp.ndarray, pad: int = PAD) -> jnp.ndarray:
-    """(H, W, C) feature frame -> (nbx, Hp, 32, C) bf16 overlapped bands
-    with a `pad` zero border (off-image taps must read exact zeros)."""
+    """(H, W, C) feature frame -> (nbx*Hp + STAGGER, 32, C) bf16 overlapped
+    x-bands (flattened row-major by band) with a `pad` zero border
+    (off-image taps must read exact zeros)."""
     H, W, C = fmap_hw.shape
     Hp, Wp = H + 2 * pad, W + 2 * pad
     Wp_b = ((max(Wp - BWIN, 0) + 7) // 8) * 8 + BWIN
     f = jnp.pad(fmap_hw.astype(jnp.bfloat16),
                 ((pad, pad), (pad, pad + (Wp_b - Wp)), (0, 0)))
     nbx = (Wp_b - BWIN) // 8 + 1
-    return jnp.stack([f[:, 8 * i:8 * i + BWIN, :] for i in range(nbx)], 0)
+    bands = jnp.stack([f[:, 8 * i:8 * i + BWIN, :] for i in range(nbx)], 0)
+    return jnp.pad(bands.reshape(nbx * Hp, BWIN, C),
+                   ((0, STAGGER), (0, 0), (0, 0)))
 
 
 def banded_shape(H: int, W: int, pad: int = PAD):
+    """(rows, Hp): flattened per-slot row count (stagger included) and the
+    per-band height used to form row0 = band * Hp + y0."""
     Hp, Wp = H + 2 * pad, W + 2 * pad
     Wp_b = ((max(Wp - BWIN, 0) + 7) // 8) * 8 + BWIN
-    return ((Wp_b - BWIN) // 8 + 1, Hp)
+    nbx = (Wp_b - BWIN) // 8 + 1
+    return (nbx * Hp + STAGGER, Hp)
 
 
-def _kernel_banded(nlive_ref, slot_ref, band_ref, y0_ref,   # scalar prefetch
+def _kernel_banded(nlive_ref, slot_ref, row0_ref,           # scalar prefetch
                    g_ref, ry_ref, rx_ref,                   # per-edge VMEM
-                   fmap_hbm,                                # (mem,nbx,Hp,32,C)
+                   fmap_hbm,                                # (mem, rows, 32, C)
                    out_ref,
                    win, r0, r1, r2, r3, sems,
                    *, C: int, PP: int):
@@ -251,7 +265,7 @@ def _kernel_banded(nlive_ref, slot_ref, band_ref, y0_ref,   # scalar prefetch
         def win_dma(e):
             q = b * BE + e
             return pltpu.make_async_copy(
-                fmap_hbm.at[slot_ref[q], band_ref[q], pl.ds(y0_ref[q], WIN)],
+                fmap_hbm.at[slot_ref[q], pl.ds(row0_ref[q], WIN)],
                 win.at[e % K], sems.at[e % K])
 
         for k in range(IF):
@@ -285,19 +299,22 @@ def _kernel_banded(nlive_ref, slot_ref, band_ref, y0_ref,   # scalar prefetch
 
 def corr_level_banded(
     gmap: jnp.ndarray,     # (Mring, P, P, C) patch features (ring)
-    fmap_b: jnp.ndarray,   # (mem, nbx, Hp, 32, C) bf16 banded frames
+    fmap_b: jnp.ndarray,   # (mem, nbx*Hp+STAGGER, 32, C) bf16 banded frames
     coords: jnp.ndarray,   # (E, P, P, 2) at this level's resolution
     kk: jnp.ndarray,       # (E,) ring patch index
     jj: jnp.ndarray,       # (E,) ring frame slot
     mask: jnp.ndarray,     # (E,) bool
     n_live,                # () int32 packed live-edge count (<= E)
+    hp: int,               # per-band padded height (banded_shape(H, W)[1])
     radius: int = 3,
 ) -> jnp.ndarray:
     """(E, 441) correlation ordered [dx, dy, pixel] (one level)."""
     assert radius == 3, "window constants assume r = 3"
     from .lookup import lookup
 
-    mem, nbx, Hp, _, C = fmap_b.shape
+    mem, rows, _, C = fmap_b.shape
+    Hp = hp
+    nbx = (rows - STAGGER) // Hp
     E, P = coords.shape[0], coords.shape[1]
     PP = P * P
     R = radius
@@ -323,8 +340,7 @@ def corr_level_banded(
     g = jnp.pad(g, ((0, 0), (0, 16 - PP), (0, 0)))
 
     slot_g = jnp.where(mask, jj, 0).astype(jnp.int32)
-    band_g = jnp.where(mask, band, 0).astype(jnp.int32)
-    y0_g = jnp.where(mask, y0, 0).astype(jnp.int32)
+    row0_g = jnp.where(mask, band * Hp + y0, 0).astype(jnp.int32)
     ry_g = jnp.pad(ry, ((0, 0), (0, 16 - PP))).astype(jnp.int32)
     rx_g = jnp.pad(rx8, ((0, 0), (0, 16 - PP))).astype(jnp.int32)
     nlive = jnp.asarray(n_live, jnp.int32).reshape(1)
@@ -333,11 +349,11 @@ def corr_level_banded(
     if EP != E:  # small edge sets (the motion probe) pad up to one block
         padn = EP - E
         pad1 = lambda a: jnp.pad(a, [(0, padn)] + [(0, 0)] * (a.ndim - 1))
-        slot_g, band_g, y0_g = pad1(slot_g), pad1(band_g), pad1(y0_g)
+        slot_g, row0_g = pad1(slot_g), pad1(row0_g)
         ry_g, rx_g, g = pad1(ry_g), pad1(rx_g), pad1(g)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(EP // BE,),
         in_specs=[
             pl.BlockSpec((BE, 16, C), lambda b, *_: (b, 0, 0),
@@ -364,19 +380,21 @@ def corr_level_banded(
         functools.partial(_kernel_banded, C=C, PP=PP),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((EP, 8, 16 * PP), jnp.float32),
-    )(nlive, slot_g, band_g, y0_g, g, ry_g, rx_g, fmap_b)
+    )(nlive, slot_g, row0_g, g, ry_g, rx_g, fmap_b)
 
     from .corr import blend_strips
     return blend_strips(out[:E], fx, fy, rxo, mask, PP)
 
 
 def corr_pyramid_banded(gmap, banded_pyramid, coords, kk, jj, mask, n_live,
-                        radius=3, levels=(1, 4)):
+                        hw, radius=3, levels=(1, 4)):
     """Two-level pyramid over banded feature rings; output ordering matches
-    ops/corr.corr_pyramid ([dx, dy, pixel, level])."""
+    ops/corr.corr_pyramid ([dx, dy, pixel, level]). `hw` is the level-0
+    feature resolution (H, W) (stride 4 below the input image)."""
     E = coords.shape[0]
     outs = [
         corr_level_banded(gmap, fb, coords / lvl, kk, jj, mask, n_live,
+                          hp=banded_shape(hw[0] // lvl, hw[1] // lvl)[1],
                           radius=radius)
         for fb, lvl in zip(banded_pyramid, levels)
     ]

@@ -20,6 +20,8 @@ def _round_up(x: int, m: int) -> int:
 class VOConfig:
     # reference knobs (devo/config.py:6-32; yaml values in comments)
     BUFFER_SIZE: int = 4096
+    HT: int = 480                        # image height (static per run)
+    WD: int = 640                        # image width
     GRADIENT_BIAS: bool = False
     PATCH_SELECTOR: str = "scorer"
     SCORER_EVAL_MODE: str = "multi"

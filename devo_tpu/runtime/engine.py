@@ -100,8 +100,14 @@ class StepAux(NamedTuple):
 
 
 def _banded_dims(h: int, w: int):
-    nbx, hp = corr_pallas.banded_shape(h, w)
-    return (nbx, hp, corr_pallas.BWIN)
+    rows, _hp = corr_pallas.banded_shape(h, w)
+    return (rows, corr_pallas.BWIN)
+
+
+def _use_banded(cfg: VOConfig) -> bool:
+    """Whether the banded Pallas corr path is active (Mosaic only compiles
+    on real TPUs; CPU falls back to the gather reference impl)."""
+    return cfg.CORR_IMPL == "banded" and jax.default_backend() == "tpu"
 
 
 def init_state(cfg: VOConfig, ht: int, wd: int, seed: int = 0,
@@ -109,6 +115,7 @@ def init_state(cfg: VOConfig, ht: int, wd: int, seed: int = 0,
     N, M, P = cfg.BUFFER_SIZE, cfg.M, cfg.P
     mem, E = cfg.MEM, edge_cap or cfg.EDGE_CAP
     h1, w1 = ht // 4, wd // 4
+    banded = _use_banded(cfg)
     fdt = jnp.bfloat16 if cfg.MIXED_PRECISION else jnp.float32
     poses = jnp.zeros((N, 7), jnp.float32).at[:, 6].set(1.0)
     return VOState(
@@ -119,11 +126,18 @@ def init_state(cfg: VOConfig, ht: int, wd: int, seed: int = 0,
         colors=jnp.zeros((N, M), jnp.float32),
         imap=jnp.zeros((mem * M, cfg.DIM_INET), fdt),
         gmap=jnp.zeros((mem * M, P, P, cfg.DIM_FNET), fdt),
-        fmap1=jnp.zeros((mem, h1, w1, cfg.DIM_FNET), fdt),
-        fmap2=jnp.zeros((mem, h1 // 4, w1 // 4, cfg.DIM_FNET), fdt),
-        fmap1b=jnp.zeros((mem,) + _banded_dims(h1, w1) + (cfg.DIM_FNET,),
+        # only the ring family the active corr impl reads is allocated
+        # (zero-slot otherwise): the unused family would still cost its
+        # per-frame writes, keyframe shifts, and the XLA layout-
+        # canonicalization copies it attracts
+        fmap1=jnp.zeros((0 if banded else mem, h1, w1, cfg.DIM_FNET), fdt),
+        fmap2=jnp.zeros((0 if banded else mem,
+                         h1 // 4, w1 // 4, cfg.DIM_FNET), fdt),
+        fmap1b=jnp.zeros((mem if banded else 0,)
+                         + _banded_dims(h1, w1) + (cfg.DIM_FNET,),
                          jnp.bfloat16),
-        fmap2b=jnp.zeros((mem,) + _banded_dims(h1 // 4, w1 // 4)
+        fmap2b=jnp.zeros((mem if banded else 0,)
+                         + _banded_dims(h1 // 4, w1 // 4)
                          + (cfg.DIM_FNET,), jnp.bfloat16),
         ii=jnp.zeros((E,), jnp.int32),
         jj=jnp.zeros((E,), jnp.int32),
@@ -284,7 +298,8 @@ def _edge_features(cfg: VOConfig, st: VOState, ii, jj, kk, mask=None):
         n_live = jnp.sum(mask).astype(jnp.int32)
         corr_feat = corr_pallas.corr_pyramid_banded(
             st.gmap, (st.fmap1b, st.fmap2b), coords, kk_ring, jj_ring, mask,
-            n_live, radius=cfg.CORR_RADIUS, levels=cfg.CORR_LEVELS)
+            n_live, hw=(cfg.HT // 4, cfg.WD // 4),
+            radius=cfg.CORR_RADIUS, levels=cfg.CORR_LEVELS)
     elif impl == "pallas":
         corr_feat = corr_pallas.corr_pyramid_pallas(
             st.gmap, (st.fmap1, st.fmap2), coords, kk_ring, jj_ring, mask,
@@ -422,10 +437,14 @@ def _remove_keyframe(cfg: VOConfig, st: VOState, k) -> VOState:
         patches=shift_frames(st.patches.reshape(N, -1)).reshape(st.patches.shape),
         imap=_shift_ring(st.imap.reshape(mem, M, -1), st.n, k, mem, L).reshape(st.imap.shape),
         gmap=_shift_ring(st.gmap.reshape(mem, M, *st.gmap.shape[1:]), st.n, k, mem, L).reshape(st.gmap.shape),
-        fmap1=_shift_ring(st.fmap1, st.n, k, mem, L),
-        fmap2=_shift_ring(st.fmap2, st.n, k, mem, L),
-        fmap1b=_shift_ring(st.fmap1b, st.n, k, mem, L),
-        fmap2b=_shift_ring(st.fmap2b, st.n, k, mem, L),
+        fmap1=_shift_ring(st.fmap1, st.n, k, mem, L) if st.fmap1.shape[0]
+        else st.fmap1,
+        fmap2=_shift_ring(st.fmap2, st.n, k, mem, L) if st.fmap2.shape[0]
+        else st.fmap2,
+        fmap1b=_shift_ring(st.fmap1b, st.n, k, mem, L) if st.fmap1b.shape[0]
+        else st.fmap1b,
+        fmap2b=_shift_ring(st.fmap2b, st.n, k, mem, L) if st.fmap2b.shape[0]
+        else st.fmap2b,
         n=st.n - 1,
     )
 
@@ -494,8 +513,9 @@ def _write_frame(net: EVONet, params, cfg: VOConfig, st: VOState,
     depth = jnp.where(st.initialized, med, 0.0) + jnp.where(st.initialized, 0.0, 1.0) * rand_d
     patches = patches.at[:, 2 * PP:].set(jnp.broadcast_to(depth, (M, PP)))
 
-    fdt = st.fmap1.dtype
+    fdt = st.gmap.dtype
     fmap2 = fmap.reshape(fmap.shape[0] // 4, 4, fmap.shape[1] // 4, 4, -1).mean((1, 3))
+    banded = st.fmap1b.shape[0] > 0
 
     return st._replace(
         tstamps=st.tstamps.at[n].set(st.counter),
@@ -505,10 +525,14 @@ def _write_frame(net: EVONet, params, cfg: VOConfig, st: VOState,
         colors=st.colors.at[n].set(out["clr"][0]),
         imap=jax.lax.dynamic_update_slice(st.imap, imap_p.astype(fdt), ((n % mem) * M, 0)),
         gmap=jax.lax.dynamic_update_slice(st.gmap, gmap_p.astype(fdt), ((n % mem) * M, 0, 0, 0)),
-        fmap1=st.fmap1.at[n % mem].set(fmap.astype(fdt)),
-        fmap2=st.fmap2.at[n % mem].set(fmap2.astype(fdt)),
-        fmap1b=st.fmap1b.at[n % mem].set(corr_pallas.band_frame(fmap)),
-        fmap2b=st.fmap2b.at[n % mem].set(corr_pallas.band_frame(fmap2)),
+        fmap1=st.fmap1 if banded else st.fmap1.at[n % mem].set(
+            fmap.astype(fdt)),
+        fmap2=st.fmap2 if banded else st.fmap2.at[n % mem].set(
+            fmap2.astype(fdt)),
+        fmap1b=st.fmap1b.at[n % mem].set(corr_pallas.band_frame(fmap))
+        if banded else st.fmap1b,
+        fmap2b=st.fmap2b.at[n % mem].set(corr_pallas.band_frame(fmap2))
+        if banded else st.fmap2b,
         counter=st.counter + 1,
     )
 
@@ -645,6 +669,9 @@ class DEVO:
     (devo.py:21-555): call per frame, then terminate() for the trajectory."""
 
     def __init__(self, cfg: VOConfig, params, ht=480, wd=640, seed=0):
+        if (cfg.HT, cfg.WD) != (ht, wd):
+            import dataclasses
+            cfg = dataclasses.replace(cfg, HT=ht, WD=wd)
         self.cfg = cfg
         self.net = EVONet(P=cfg.P, dim_inet=cfg.DIM_INET, dim_fnet=cfg.DIM_FNET,
                           dim=cfg.DIM, patch_selector=cfg.PATCH_SELECTOR,

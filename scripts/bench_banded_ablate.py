@@ -148,6 +148,14 @@ def main():
                                        .repeat(13)[:E]
                                        + rng.integers(-2, 3, E),
                                        0, Hp - WIN), jnp.int32)),
+        # the real engine under constant keyframe merging: n stays 8, so
+        # slot cycles 0..7 every edge while (band, y0) stay fixed per patch
+        # group of 8 -> consecutive DMAs stride EXACTLY slot_pitch bytes
+        "cycle8": (jnp.asarray(np.arange(E) % 8, jnp.int32),
+                   jnp.asarray(rng.integers(0, NBX, (E // 8 + 1,))
+                               .repeat(8)[:E], jnp.int32),
+                   jnp.asarray(rng.integers(0, Hp - WIN, (E // 8 + 1,))
+                               .repeat(8)[:E], jnp.int32)),
         # like cyclic but each patch group lands at a RANDOM (band, y0)
         # (patches are spatially scattered): slot cycles x random group base
         "grouped": (jnp.asarray(np.arange(E) % 13, jnp.int32),

@@ -68,7 +68,8 @@ def test_banded_corr_matches_xla(seed):
     fmap_b = jnp.stack([corr_pallas.band_frame(f) for f in fmap])
     with pltpu.force_tpu_interpret_mode():
         got = corr_pallas.corr_level_banded(
-            gmap, fmap_b, coords, kk, jj, mask, n_live=coords.shape[0])
+            gmap, fmap_b, coords, kk, jj, mask, n_live=coords.shape[0],
+            hp=corr_pallas.banded_shape(32, 40)[1])
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
 
 
@@ -85,7 +86,8 @@ def test_banded_corr_early_exit_blocks():
     fmap_b = jnp.stack([corr_pallas.band_frame(f) for f in fmap])
     with pltpu.force_tpu_interpret_mode():
         got = corr_pallas.corr_level_banded(
-            gmap, fmap_b, coords, kk, jj, mask, n_live=live)
+            gmap, fmap_b, coords, kk, jj, mask, n_live=live,
+            hp=corr_pallas.banded_shape(32, 40)[1])
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
 
 
@@ -97,5 +99,5 @@ def test_banded_corr_pyramid_shapes():
            jnp.stack([corr_pallas.band_frame(f) for f in fmap2]))
     with pltpu.force_tpu_interpret_mode():
         out = corr_pallas.corr_pyramid_banded(
-            gmap, pyr, coords, kk, jj, mask, n_live=16)
+            gmap, pyr, coords, kk, jj, mask, n_live=16, hw=(32, 40))
     assert out.shape == (16, 2 * 49 * 9)
