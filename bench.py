@@ -69,6 +69,9 @@ def main():
         i, vox = q.get()
         slam(i / 30.0, vox, intr)
     jax.block_until_ready(slam.state.poses)
+    # every bucket executable must exist before timing: a mid-window bucket
+    # switch would otherwise charge a 10-90 s remote compile to the FPS
+    slam.wait_buckets()
 
     t0 = time.perf_counter()
     for _ in range(N_BENCH):

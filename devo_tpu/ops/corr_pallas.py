@@ -223,8 +223,13 @@ def corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, mask, radius=3,
 # measured in scripts/bench_banded_ablate.py's flat-stagger probe).
 # =========================================================================
 
-BWIN = 32         # banded window x-width (16 taps + 8 spread + 8 align)
+BWIN = 24         # banded window x-width: strip anchors rx8*8 in {0, 8}
+                  # plus 16-wide strips; rx = in-band offset(<=7) + patch
+                  # spread(<=8) <= 15, so 24 covers every window (32 was
+                  # 33% more DMA bytes and matmul rows for nothing)
 STAGGER = 3       # extra rows per slot de-aliasing the slot pitch
+SC_DTYPE = jnp.float32   # result-scratch dtype (bf16 probe: halves the
+                         # dominant per-edge 128 KB scratch store)
 
 
 def band_frame(fmap_hw: jnp.ndarray, pad: int = PAD) -> jnp.ndarray:
@@ -255,9 +260,9 @@ def _kernel_banded(nlive_ref, slot_ref, row0_ref,           # scalar prefetch
                    g_ref, ry_ref, rx_ref,                   # per-edge VMEM
                    fmap_hbm,                                # (mem, rows, 32, C)
                    out_ref,
-                   win, r0, r1, r2, r3, sems,
-                   *, C: int, PP: int):
-    scratches = (r0, r1, r2, r3)
+                   win, *scr,                               # ring + NSC + sems
+                   C: int, PP: int, ablate: str = "full"):
+    scratches, sems = scr[:-1], scr[-1]
     b = pl.program_id(0)
 
     @pl.when(b * BE < nlive_ref[0])
@@ -268,26 +273,41 @@ def _kernel_banded(nlive_ref, slot_ref, row0_ref,           # scalar prefetch
                 fmap_hbm.at[slot_ref[q], pl.ds(row0_ref[q], WIN)],
                 win.at[e % K], sems.at[e % K])
 
-        for k in range(IF):
-            win_dma(k).start()
+        if ablate != "noDMA":
+            for k in range(IF):
+                win_dma(k).start()
 
         def edge_body(e, sc):
-            win_dma(e).wait()
+            if ablate != "noDMA":
+                win_dma(e).wait()
             w2 = win[e % K].reshape(WIN * BWIN, C)
+            if ablate == "nomm":
+                out_ref[e] = jnp.concatenate(
+                    [w2[:8, :128], w2[:8, :16]], axis=1).astype(jnp.float32)
+                if ablate != "noDMA":
+                    @pl.when(e + IF < BE)
+                    def _():
+                        win_dma(e + IF).start()
+                return
             R = jax.lax.dot_general(
                 w2, g_ref[e], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)       # (512, 16)
 
-            @pl.when(e + IF < BE)
-            def _():
-                win_dma(e + IF).start()
+            if ablate != "noDMA":
+                @pl.when(e + IF < BE)
+                def _():
+                    win_dma(e + IF).start()
 
-            sc[:, :BWIN, :] = R.reshape(WIN, BWIN, 16)    # [y, x, pixel]
+            if ablate == "noext":
+                out_ref[e] = jnp.concatenate(
+                    [R[8 * p:8 * p + 8, :] for p in range(PP)], axis=1)
+                return
+            sc[:, :BWIN, :] = R.reshape(WIN, BWIN, 16).astype(sc.dtype)
             parts = []
             for p in range(PP):
                 rx8 = pl.multiple_of(rx_ref[e, p] * 8, 8)
                 parts.append(sc[pl.ds(ry_ref[e, p], 8), pl.ds(rx8, 16), p])
-            out_ref[e] = jnp.concatenate(parts, axis=1)   # (8, 16*PP)
+            out_ref[e] = jnp.concatenate(parts, axis=1).astype(jnp.float32)
 
         def group(i, _):
             for k in range(NSC):
@@ -307,6 +327,8 @@ def corr_level_banded(
     n_live,                # () int32 packed live-edge count (<= E)
     hp: int,               # per-band padded height (banded_shape(H, W)[1])
     radius: int = 3,
+    ablate: str = "full",  # perf probe: "nomm"/"noext"/"noDMA" skip stages
+                           # (wrong results; scripts/bench_banded_tune.py)
 ) -> jnp.ndarray:
     """(E, 441) correlation ordered [dx, dy, pixel] (one level)."""
     assert radius == 3, "window constants assume r = 3"
@@ -366,18 +388,16 @@ def corr_level_banded(
         ],
         out_specs=pl.BlockSpec((BE, 8, 16 * PP), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((K, WIN, BWIN, C), jnp.bfloat16),  # window ring
-            pltpu.VMEM((WIN, BWIN + 8, 16), jnp.float32),
-            pltpu.VMEM((WIN, BWIN + 8, 16), jnp.float32),
-            pltpu.VMEM((WIN, BWIN + 8, 16), jnp.float32),
-            pltpu.VMEM((WIN, BWIN + 8, 16), jnp.float32),
-            pltpu.SemaphoreType.DMA((K,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((K, WIN, BWIN, C), jnp.bfloat16)]   # window ring
+            + [pltpu.VMEM((WIN, BWIN + 8, 16), SC_DTYPE)
+               for _ in range(NSC)]
+            + [pltpu.SemaphoreType.DMA((K,))]
+        ),
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel_banded, C=C, PP=PP),
+        functools.partial(_kernel_banded, C=C, PP=PP, ablate=ablate),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((EP, 8, 16 * PP), jnp.float32),
     )(nlive, slot_g, row0_g, g, ry_g, rx_g, fmap_b)

@@ -664,6 +664,46 @@ class _EdgeCountSampler:
             return self.latest
 
 
+class _BucketPrecompiler:
+    """Compile-ahead of per-bucket step executables.
+
+    The engine runs one XLA executable per edge-table bucket; compiling a
+    new bucket through the axon remote compiler costs 10-90 s, which would
+    stall tracking (and wrecked bench runs whose timed window caught a
+    bucket switch). This thread walks the bucket ladder in ascending order
+    and warms each executable by stepping a throwaway state, so the tracker
+    only ever moves to buckets whose executables already exist; _rebucket
+    defers any move whose target isn't ready (growth is covered by the
+    append merge's graceful tail-drop overflow in the meantime)."""
+
+    def __init__(self, run_dummy_step, caps, cap0: int):
+        import threading
+        self._run = run_dummy_step
+        self._caps = [c for c in sorted(caps) if c != cap0]
+        self._ready = {cap0}
+        self._lock = threading.Lock()
+        self._done = threading.Event()
+        self._t = threading.Thread(target=self._worker, daemon=True)
+        self._t.start()
+
+    def _worker(self):
+        for cap in self._caps:
+            try:
+                self._run(cap)
+            except Exception:   # a failed warm just means a slower switch
+                continue
+            with self._lock:
+                self._ready.add(cap)
+        self._done.set()
+
+    def ready(self, cap: int) -> bool:
+        with self._lock:
+            return cap in self._ready
+
+    def wait(self, timeout=None) -> bool:
+        return self._done.wait(timeout)
+
+
 class DEVO:
     """Host-side orchestrator mirroring the reference engine's interface
     (devo.py:21-555): call per frame, then terminate() for the trajectory."""
@@ -688,10 +728,12 @@ class DEVO:
         # finer steps in the steady-state range (~6-15k live at M=96):
         # every per-edge op scales with the bucket, so -25% bucket = -25%
         # frame time; coarser above (each bucket is one XLA executable)
+        # each bucket is one XLA executable the precompiler must build —
+        # keep the ladder lean (EDGE_CAP//2 ~ 12 blocks, dropped as a dup)
         caps = sorted({self._round_cap(c) for c in (
             3 * self._block, 4 * self._block, 5 * self._block,
             6 * self._block, 8 * self._block, 12 * self._block,
-            cfg.EDGE_CAP // 2, 2 * cfg.EDGE_CAP // 3, cfg.EDGE_CAP)})
+            2 * cfg.EDGE_CAP // 3, cfg.EDGE_CAP)})
         self._caps = [c for c in caps if c <= self._round_cap(cfg.EDGE_CAP)]
         # start at a bucket that holds the 8-frame init clique (64*M edges,
         # devo.py:544-548) plus one append block, so initialization never
@@ -703,6 +745,12 @@ class DEVO:
         self._update_fn = jax.jit(
             lambda p, s: _update_once(self.net, p, self.cfg, s),
             donate_argnums=(1,))
+        # compile every bucket executable ahead of need (TPU only: the CPU
+        # fallback is for tests, where eager per-bucket warming would just
+        # burn the suite's time)
+        self._precompiler = (
+            _BucketPrecompiler(self._warm_bucket, self._caps, cap0)
+            if jax.default_backend() == "tpu" else None)
         self._sampler = _EdgeCountSampler()
         self._frame_idx = 0
         self.tlist = []            # real timestamps of counted frames
@@ -711,6 +759,25 @@ class DEVO:
     @staticmethod
     def _round_cap(c: int) -> int:
         return ((max(c, 1024) + 1023) // 1024) * 1024
+
+    def _warm_bucket(self, cap: int):
+        """Compile the step executable for bucket `cap` by running one
+        throwaway step (the donated dummy state frees as it goes)."""
+        cfg = self.cfg
+        wire = {"i8": jnp.int8, "f16": jnp.float16}.get(
+            getattr(cfg, "VOXEL_WIRE", "i8"), jnp.float32)
+        dummy = init_state(cfg, cfg.HT, cfg.WD, seed=0, edge_cap=cap)
+        voxel = jnp.zeros((cfg.HT, cfg.WD, cfg.BINS), wire)
+        intr = jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32)
+        out = self.step_fn(self.params, dummy, voxel, np.float32(1.0), intr)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+
+    def wait_buckets(self, timeout=None) -> bool:
+        """Block until every bucket executable is compiled (bench/eval call
+        this after their warmup so no timed frame hits a compile)."""
+        if self._precompiler is None:
+            return True
+        return self._precompiler.wait(timeout)
 
     def _rebucket(self):
         """Grow/shrink the edge table to the smallest safe bucket. The
@@ -740,7 +807,16 @@ class DEVO:
         growth = max(0, ne - pne) / max(1, f - pf)
         need = int(ne + growth * (cur - f + 2)) + self._block
         cap = self.state.ii.shape[0]
-        target = next((c for c in self._caps if c >= need), self._caps[-1])
+        ready = (self._precompiler.ready if self._precompiler is not None
+                 else lambda c: True)
+        # smallest compiled bucket that fits; an uncompiled target is
+        # deferred (a switch would stall tracking 10-90 s on the remote
+        # compiler) — growth meanwhile degrades gracefully via the append
+        # merge's tail-drop overflow
+        target = next((c for c in self._caps
+                       if c >= need and (c == cap or ready(c))), None)
+        if target is None:
+            target = self._caps[-1] if ready(self._caps[-1]) else cap
         if target == cap or (target < cap and need + self._block // 2 > target):
             return  # hysteresis: only shrink with half a block of slack
         st = self.state

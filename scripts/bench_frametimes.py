@@ -30,13 +30,17 @@ def main():
         sh = (3 * i) % WD
         return base[:, sh:sh + WD]
 
+    import sys
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 130
     t_prev = time.perf_counter()
-    for i in range(130):
+    for i in range(n_frames):
         slam(i / 30.0, frame(i), intr)
         jax.block_until_ready(slam.state.poses)
         t = time.perf_counter()
         print(f"frame {i:3d}  {1e3 * (t - t_prev):9.1f} ms  "
-              f"bucket {slam.state.ii.shape[0]:6d}", flush=True)
+              f"bucket {slam.state.ii.shape[0]:6d}  "
+              f"edges {int(slam.state.n_edges):6d}  n {int(slam.state.n):3d}",
+              flush=True)
         t_prev = t
 
 

@@ -59,19 +59,36 @@ def main():
         for e in data.get("traceEvents", []):
             if e.get("ph") == "M" and e.get("name") == "process_name":
                 pid_names[e["pid"]] = e["args"].get("name", "")
+        lanes = defaultdict(list)
         for e in data.get("traceEvents", []):
             if e.get("ph") != "X":
                 continue
             pname = pid_names.get(e.get("pid"), "")
             if "TPU" not in pname and "Device" not in pname and "/device" not in pname.lower():
                 continue
-            name = e.get("name", "?")
-            ev_tot[name] += e.get("dur", 0)
-            ev_cnt[name] += 1
-    print(f"{'op':60s} {'total ms':>10s} {'count':>7s}")
+            lanes[(e.get("pid"), e.get("tid"))].append(e)
+        # self time = dur - (time covered by nested events on the same lane)
+        for evs in lanes.values():
+            evs.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+            stack = []
+            child_cover = defaultdict(float)
+            for e in evs:
+                ts, dur = e["ts"], e.get("dur", 0)
+                while stack and ts >= stack[-1]["ts"] + stack[-1].get("dur", 0):
+                    stack.pop()
+                if stack:
+                    child_cover[id(stack[-1])] += dur
+                stack.append(e)
+            for e in evs:
+                name = e.get("name", "?")
+                self_t = e.get("dur", 0) - child_cover.get(id(e), 0)
+                if self_t > 0:
+                    ev_tot[name] += self_t
+                    ev_cnt[name] += 1
+    print(f"{'op':60s} {'self ms':>10s} {'count':>7s}")
     for name, tot in sorted(ev_tot.items(), key=lambda kv: -kv[1])[:45]:
         print(f"{name[:60]:60s} {tot / 1e3 / 6:10.3f} {ev_cnt[name]:7d}")
-    print("(total ms is per-frame average over 6 traced frames)")
+    print("(self ms is per-frame average over 6 traced frames)")
 
 
 if __name__ == "__main__":
