@@ -85,9 +85,11 @@ class SoftAgg(nn.Module):
                  sorted_ids: bool = False):
         f = nn.Dense(self.dim, name="f", dtype=self.dtype)(x)
         g = nn.Dense(self.dim, name="g", dtype=self.dtype)(x)
+        prec = (jax.lax.Precision.DEFAULT if self.dtype == jnp.bfloat16
+                else None)
         _, agg_e = fast_segment_softmax_sum(
             f.astype(jnp.float32), g.astype(jnp.float32), segment_ids,
-            num_segments, mask, sorted_ids=sorted_ids)
+            num_segments, mask, sorted_ids=sorted_ids, precision=prec)
         # h(y)[seg(e)] == h(y[seg(e)]): apply the row-wise Dense to the
         # per-edge back-projection (a one-hot matmul) instead of gathering
         # h's output rows — an E-row gather is a serial loop on TPU

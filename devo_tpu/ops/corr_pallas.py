@@ -329,11 +329,11 @@ def corr_level_banded(
     radius: int = 3,
     ablate: str = "full",  # perf probe: "nomm"/"noext"/"noDMA" skip stages
                            # (wrong results; scripts/bench_banded_tune.py)
+    g=None,                # (E, 16, C) bf16 pre-looked-up patch features
+                           # (both pyramid levels share it — one lookup)
 ) -> jnp.ndarray:
     """(E, 441) correlation ordered [dx, dy, pixel] (one level)."""
     assert radius == 3, "window constants assume r = 3"
-    from .lookup import lookup
-
     mem, rows, _, C = fmap_b.shape
     Hp = hp
     nbx = (rows - STAGGER) // Hp
@@ -357,9 +357,8 @@ def corr_level_banded(
     rx8 = rx // 8            # aligned strip start / 8, in {0, 1, 2}
     rxo = rx - rx8 * 8
 
-    g = lookup(gmap.reshape(-1, PP * C).astype(jnp.bfloat16),
-               jnp.where(mask, kk, 0)).reshape(E, PP, C)
-    g = jnp.pad(g, ((0, 0), (0, 16 - PP), (0, 0)))
+    if g is None:
+        g = lookup_g(gmap, kk, mask)
 
     slot_g = jnp.where(mask, jj, 0).astype(jnp.int32)
     row0_g = jnp.where(mask, band * Hp + y0, 0).astype(jnp.int32)
@@ -406,16 +405,29 @@ def corr_level_banded(
     return blend_strips(out[:E], fx, fy, rxo, mask, PP)
 
 
+def lookup_g(gmap, kk, mask):
+    """One-hot MXU lookup of per-edge patch features, padded to 16 pixel
+    lanes: (E, 16, C) bf16."""
+    from .lookup import lookup
+    PP = gmap.shape[1] * gmap.shape[2]
+    C = gmap.shape[-1]
+    E = kk.shape[0]
+    g = lookup(gmap.reshape(-1, PP * C).astype(jnp.bfloat16),
+               jnp.where(mask, kk, 0)).reshape(E, PP, C)
+    return jnp.pad(g, ((0, 0), (0, 16 - PP), (0, 0)))
+
+
 def corr_pyramid_banded(gmap, banded_pyramid, coords, kk, jj, mask, n_live,
                         hw, radius=3, levels=(1, 4)):
     """Two-level pyramid over banded feature rings; output ordering matches
     ops/corr.corr_pyramid ([dx, dy, pixel, level]). `hw` is the level-0
     feature resolution (H, W) (stride 4 below the input image)."""
     E = coords.shape[0]
+    g = lookup_g(gmap, kk, mask)          # shared by both levels
     outs = [
         corr_level_banded(gmap, fb, coords / lvl, kk, jj, mask, n_live,
                           hp=banded_shape(hw[0] // lvl, hw[1] // lvl)[1],
-                          radius=radius)
+                          radius=radius, g=g)
         for fb, lvl in zip(banded_pyramid, levels)
     ]
     return jnp.stack(outs, axis=-1).reshape(E, -1)

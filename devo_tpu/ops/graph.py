@@ -109,6 +109,7 @@ def fast_segment_softmax_sum(
     num_segments: int,
     mask: jnp.ndarray,
     sorted_ids: bool = False,
+    precision=None,
 ):
     """Scatter-free segment softmax aggregation.
 
@@ -134,7 +135,11 @@ def fast_segment_softmax_sum(
     oh = (segment_ids[None, :]
           == jnp.arange(num_segments, dtype=segment_ids.dtype)[:, None]
           ).astype(ex.dtype)
-    hp = jax.lax.Precision.HIGHEST
+    # HIGHEST (6-pass bf16 emulation of f32) is exact but ~3x the MXU time
+    # of a native pass; the mixed-precision engine path passes DEFAULT
+    # (the reference runs this whole block under fp16 autocast anyway,
+    # devo.py:71-74)
+    hp = precision if precision is not None else jax.lax.Precision.HIGHEST
 
     def segsum(v):
         return jax.lax.dot(oh, v, precision=hp)

@@ -434,7 +434,10 @@ def _remove_keyframe(cfg: VOConfig, st: VOState, k) -> VOState:
         poses=shift_frames(st.poses),
         intrinsics=shift_frames(st.intrinsics),
         colors=shift_frames(st.colors),
-        patches=shift_frames(st.patches.reshape(N, -1)).reshape(st.patches.shape),
+        # rows_per_frame=M keeps the flat (N*M, 27) layout: a reshape to
+        # (N, M*27) forces a physical relayout both ways (~1 ms/frame of
+        # reshape+copy in the keyframe branch, see PERF_NOTES.md)
+        patches=shift_frames(st.patches, rows_per_frame=M),
         imap=_shift_ring(st.imap.reshape(mem, M, -1), st.n, k, mem, L).reshape(st.imap.shape),
         gmap=_shift_ring(st.gmap.reshape(mem, M, *st.gmap.shape[1:]), st.n, k, mem, L).reshape(st.gmap.shape),
         fmap1=_shift_ring(st.fmap1, st.n, k, mem, L) if st.fmap1.shape[0]

@@ -90,6 +90,20 @@ def main():
         print(f"{name[:60]:60s} {tot / 1e3 / 6:10.3f} {ev_cnt[name]:7d}")
     print("(self ms is per-frame average over 6 traced frames)")
 
+    if "--hlo" in sys.argv:
+        # AOT-compile the same step and dump optimized HLO with source
+        # locations, to map the hot fusion/copy names above to engine code
+        st = slam.state
+        shp = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            (slam.params, st,
+             jnp.zeros((HT, WD, 5), jnp.int8), np.float32(1.0),
+             jnp.zeros((4,), jnp.float32)))
+        txt = slam.step_fn.lower(*shp).compile().as_text()
+        with open("/tmp/step_hlo.txt", "w") as fh:
+            fh.write(txt)
+        print("wrote /tmp/step_hlo.txt", len(txt))
+
 
 if __name__ == "__main__":
     main()
