@@ -40,10 +40,11 @@ def exp(phi: jnp.ndarray) -> jnp.ndarray:
     theta_sq, theta = _theta(phi)
     theta_p4 = theta_sq * theta_sq
     small = theta_sq < EPS
+    th = jnp.where(small, 1.0, theta)   # grad-safe unselected branch
     imag_t = 0.5 - (1.0 / 48.0) * theta_sq + (1.0 / 3840.0) * theta_p4
     real_t = 1.0 - (1.0 / 8.0) * theta_sq + (1.0 / 384.0) * theta_p4
-    imag_e = jnp.sin(0.5 * theta) / theta
-    real_e = jnp.cos(0.5 * theta)
+    imag_e = jnp.sin(0.5 * th) / th
+    real_e = jnp.cos(0.5 * th)
     imag = jnp.where(small, imag_t, imag_e)
     real = jnp.where(small, real_t, real_e)
     return jnp.concatenate([imag * phi, real], axis=-1)
@@ -65,7 +66,11 @@ def log(q: jnp.ndarray) -> jnp.ndarray:
     # qw); Taylor for nv -> 0: 2/qw - 2/3 nv^2 / qw^3. Branch-free exact form:
     # 2 * sign(qw) * atan2(nv, |qw|) / nv, which also covers qw ~ 0 (+-pi).
     sign_w = jnp.where(qw < 0, -1.0, 1.0)
-    factor_t = 2.0 / qw - (2.0 / 3.0) * nv_sq / (qw * qw * qw)
+    # guard the UNSELECTED branch's inputs: where() masks forward values
+    # but the backward of 1/qw at qw ~ 0 (rotations near pi, where the
+    # exact branch is the one selected) is inf, and inf * 0-mask = NaN
+    qw_t = jnp.where(small, qw, 1.0)    # small => |qw| ~ 1, division safe
+    factor_t = 2.0 / qw_t - (2.0 / 3.0) * nv_sq / (qw_t * qw_t * qw_t)
     factor_e = 2.0 * sign_w * jnp.arctan2(nv, jnp.abs(qw)) / nv
     factor = jnp.where(small, factor_t, factor_e)
     return factor * qv
@@ -120,11 +125,15 @@ def left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
     Phi = hat(phi)
     Phi2 = Phi @ Phi
     small = theta_sq < EPS
+    # exact-branch denominators guarded on the Taylor side: theta_sq == 0
+    # there, and (1-cos)/0 is NaN whose *backward* survives the where mask
+    ts = jnp.where(small, 1.0, theta_sq)
+    th = jnp.where(small, 1.0, theta)
     # coef1 = (1 - cos t)/t^2, coef2 = (t - sin t)/t^3
     coef1 = jnp.where(small, 0.5 - theta_sq / 24.0,
-                      (1.0 - jnp.cos(theta)) / theta_sq)
+                      (1.0 - jnp.cos(th)) / ts)
     coef2 = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0,
-                      (theta - jnp.sin(theta)) / (theta_sq * theta))
+                      (th - jnp.sin(th)) / (ts * th))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), Phi.shape)
     return eye + coef1[..., None] * Phi + coef2[..., None] * Phi2
 
@@ -135,11 +144,16 @@ def left_jacobian_inverse(phi: jnp.ndarray) -> jnp.ndarray:
     Phi = hat(phi)
     Phi2 = Phi @ Phi
     small = theta_sq < EPS
-    half_theta = 0.5 * theta
+    # guard the exact branch's denominators on the Taylor side (see
+    # left_jacobian): 1/theta_sq and /sin produce inf/NaN whose backward
+    # leaks through the where mask as NaN * 0
+    ts = jnp.where(small, 1.0, theta_sq)
+    th = jnp.where(small, 1.0, theta)
+    half_theta = 0.5 * th
     # coef = 1/t^2 - cos(t/2)/(2 t sin(t/2)) ; Taylor: 1/12 + t^2/720
     coef_t = 1.0 / 12.0 + theta_sq / 720.0
-    coef_e = 1.0 / theta_sq - jnp.cos(half_theta) / (
-        2.0 * theta * jnp.sin(half_theta))
+    coef_e = 1.0 / ts - jnp.cos(half_theta) / (
+        2.0 * th * jnp.sin(half_theta))
     coef = jnp.where(small, coef_t, coef_e)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), Phi.shape)
     return eye - 0.5 * Phi + coef[..., None] * Phi2

@@ -149,7 +149,14 @@ def fast_segment_softmax_sum(
                                    precision=hp)
 
     denom = segsum(ex)
-    w = ex / jnp.maximum(back(denom), 1e-30)
+    # guarded division: a max(denom, 1e-30) guard keeps the FORWARD finite
+    # but its VJP carries 1/denom^2 = 1e60 -> inf, and inf * 0-cotangent =
+    # NaN — this poisoned every update-operator gradient whenever a segment
+    # was empty or its exp mass underflowed. Treat such segments as having
+    # no attention mass (exactly what underflow means) on both sides.
+    db = back(denom)
+    ok = db > 1e-10
+    w = jnp.where(ok, ex, 0.0) / jnp.where(ok, db, 1.0)
     agg = segsum(values * w)
     return agg, back(agg)
 
@@ -181,6 +188,10 @@ def segment_softmax_sum(
     ex = jnp.exp(logits - seg_max[segment_ids])
     ex = jnp.where(mask[:, None], ex, 0.0)
     denom = jax.ops.segment_sum(ex, segment_ids, num_segments=num_segments)
-    w = ex / jnp.maximum(denom[segment_ids], 1e-20)
+    # guarded division (see fast_segment_softmax_sum): 1/max(d, tiny)^2 in
+    # the VJP overflows to inf for empty segments and NaNs the backward
+    db = denom[segment_ids]
+    ok = db > 1e-10
+    w = jnp.where(ok, ex, 0.0) / jnp.where(ok, db, 1.0)
     agg = jax.ops.segment_sum(values * w, segment_ids, num_segments=num_segments)
     return agg, agg[segment_ids]

@@ -733,10 +733,13 @@ class DEVO:
         # frame time; coarser above (each bucket is one XLA executable)
         # each bucket is one XLA executable the precompiler must build —
         # keep the ladder lean (EDGE_CAP//2 ~ 12 blocks, dropped as a dup)
+        import os
+        force = os.environ.get("DEVO_FORCE_BUCKET")   # perf diagnosis only
         caps = sorted({self._round_cap(c) for c in (
             3 * self._block, 4 * self._block, 5 * self._block,
             6 * self._block, 8 * self._block, 12 * self._block,
-            2 * cfg.EDGE_CAP // 3, cfg.EDGE_CAP)})
+            2 * cfg.EDGE_CAP // 3, cfg.EDGE_CAP)}) if not force \
+            else [self._round_cap(int(force))]
         self._caps = [c for c in caps if c <= self._round_cap(cfg.EDGE_CAP)]
         # start at a bucket that holds the 8-frame init clique (64*M edges,
         # devo.py:544-548) plus one append block, so initialization never

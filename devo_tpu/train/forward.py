@@ -154,7 +154,13 @@ def evonet_forward(
             # median depth init for the new frame (enet.py:338)
             pf = jnp.arange(patches.shape[0]) // ppi
             sel = (pf == n - 1) | (pf == n - 2)
-            med = jnp.nanmedian(jnp.where(sel[:, None, None], patches[:, 2], jnp.nan))
+            # masked lower-median (torch.median semantics) without NaN
+            # sentinels — nanmedian's intentional NaNs trip jax_debug_nans
+            # and cost a full isnan pass
+            vals = jnp.where(sel[:, None, None], patches[:, 2], 3.4e38)
+            flat = jnp.sort(vals.reshape(-1))
+            cnt = jnp.sum(sel) * patches.shape[-1] * patches.shape[-2]
+            med = flat[jnp.maximum((cnt - 1) // 2, 0)]
             patches = patches.at[:, 2].set(
                 jnp.where((pf == n)[:, None, None], med, patches[:, 2]))
         else:

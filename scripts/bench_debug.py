@@ -60,7 +60,9 @@ def main():
         jax.block_until_ready(slam.state.poses)
         dt = time.perf_counter() - t0
         print(f"chunk {c}: {dt / 12 * 1e3:7.1f} ms/frame  "
-              f"bucket {slam.state.ii.shape[0]:6d}", flush=True)
+              f"bucket {slam.state.ii.shape[0]:6d}  "
+              f"edges {int(slam.state.n_edges):6d}  n {int(slam.state.n):3d}",
+              flush=True)
 
 
 if __name__ == "__main__":

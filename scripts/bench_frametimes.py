@@ -26,8 +26,11 @@ def main():
     intr = np.asarray([320.0, 320.0, WD / 2, HT / 2], np.float32)
     slam = DEVO(cfg, params, ht=HT, wd=WD, seed=0)
 
+    import os
+    step_px = int(os.environ.get("BENCH_SHIFT", "3"))
+
     def frame(i):
-        sh = (3 * i) % WD
+        sh = (step_px * i) % WD
         return base[:, sh:sh + WD]
 
     import sys

@@ -34,14 +34,18 @@ def main():
         sh = (3 * i) % WD
         return base[:, sh:sh + WD]
 
-    for i in range(40):
+    n_warm = next((int(a) for a in sys.argv[1:] if a.isdigit()), 40)
+    for i in range(n_warm):
         slam(i / 30.0, frame(i), intr)
     jax.block_until_ready(slam.state.poses)
+    slam.wait_buckets()
+    print(f"profiling after {n_warm} frames: bucket {slam.state.ii.shape[0]} "
+          f"edges {int(slam.state.n_edges)} n {int(slam.state.n)}", flush=True)
 
     logdir = "/tmp/jaxtrace"
     os.system(f"rm -rf {logdir}")
     jax.profiler.start_trace(logdir)
-    for i in range(40, 46):
+    for i in range(n_warm, n_warm + 6):
         slam(i / 30.0, frame(i), intr)
     jax.block_until_ready(slam.state.poses)
     jax.profiler.stop_trace()

@@ -175,3 +175,26 @@ def test_se3_exp_matches_reference_closed_form():
     t_ref = tau + a * np.cross(phi, tau) + b * np.cross(phi, np.cross(phi, tau))
     g = se3.exp(jnp.asarray(xi))
     np.testing.assert_allclose(np.asarray(g[:, :3]), t_ref, atol=1e-5)
+
+
+def test_grad_finite_at_degenerate_points():
+    """Regression: the exact-branch denominators of log/left_jacobian(_inverse)
+    are 0 at identity (and 1/qw is inf at pi-rotations); an unguarded where
+    leaks inf*0 = NaN into the BACKWARD even though the forward is masked.
+    This poisoned every training gradient upstream of a pose loss."""
+    # identity and near-identity rotations
+    q_id = so3.identity((3,))
+    phi_small = jnp.asarray([[0.0, 0.0, 0.0], [1e-9, 0, 0], [0, 1e-4, 0]])
+    # rotation by ~pi (qw ~ 0): exercises the 1/qw Taylor branch unselected
+    q_pi = so3.exp(jnp.asarray([[np.pi - 1e-4, 0.0, 0.0]]))
+
+    for fn, x in [
+        (lambda q: so3.log(q).sum(), q_id),
+        (lambda q: so3.log(q).sum(), q_pi),
+        (lambda p: so3.exp(p).sum(), phi_small),
+        (lambda p: so3.left_jacobian(p).sum(), phi_small),
+        (lambda p: so3.left_jacobian_inverse(p).sum(), phi_small),
+        (lambda g: se3.log(g).sum(), se3.identity()[None].repeat(2, 0)),
+    ]:
+        g = jax.grad(fn)(x)
+        assert bool(jnp.all(jnp.isfinite(g))), fn

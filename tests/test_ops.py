@@ -4,6 +4,7 @@ Each op is checked against a direct NumPy transcription of the kernel
 semantics documented in /root/reference/devo/altcorr/correlation_kernel.cu
 and /root/reference/devo/fastba/ba.cpp (the executable specification).
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -161,3 +162,26 @@ def test_segment_softmax_sum():
         w = w / w.sum(0)
         np.testing.assert_allclose(agg[s], (vals[sel] * w).sum(0), atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gathered), agg[seg], atol=1e-6)
+
+
+def test_segment_softmax_grad_finite_with_empty_segments():
+    """Regression: the divisor guard max(denom, tiny) kept the forward
+    finite for empty/underflowed segments but its VJP carries 1/denom^2 ->
+    inf, and inf * 0-cotangent = NaN; this poisoned every update-operator
+    gradient during training (trainer grad_nonfinite counter)."""
+    rng = np.random.default_rng(5)
+    E, C, S = 24, 4, 6
+    vals = jnp.asarray(rng.standard_normal((E, C)), jnp.float32)
+    logits = jnp.asarray(rng.standard_normal((E, C)), jnp.float32)
+    seg = jnp.asarray(rng.integers(0, 3, E), jnp.int32)  # segments 3..5 empty
+    mask = jnp.asarray(rng.random(E) < 0.5)
+
+    for fn in (graph.segment_softmax_sum,
+               lambda *a: graph.fast_segment_softmax_sum(*a)):
+        def loss(v, lg):
+            agg, gathered = fn(v, lg, seg, S, mask)
+            return jnp.sum(agg) + jnp.sum(gathered)
+
+        gv, gl = jax.grad(loss, argnums=(0, 1))(vals, logits)
+        assert bool(jnp.all(jnp.isfinite(gv)))
+        assert bool(jnp.all(jnp.isfinite(gl)))
