@@ -28,7 +28,7 @@ def main():
     # warm through the early-sequence edge-count peak (purging starts at
     # n > REMOVAL_WINDOW) so every bucket executable is compiled before the
     # timed window — a mid-timing recompile costs minutes
-    N_WARM, N_BENCH = 48, 72
+    N_WARM, N_BENCH = 48, 120
 
     # the motion-probe gate is a learned behavior (devo.py:531-534); with
     # random weights it rejects every frame and the bench would measure the

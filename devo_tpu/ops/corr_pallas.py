@@ -46,7 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 WIN = 16          # window rows (covers 8x8 taps + patch spread)
 WINX = 24         # window cols: 16 + up to 7 for sublane alignment of x0
 PAD = 12          # zero border so off-image taps read exact zeros
-BE = 128          # edges per grid step
+BE = 64           # edges per grid step (the split kernel's R
+                  # buffer is VMEM-resident: 64 keeps it ~6 MB)
 K = 8             # window ring slots
 IF = 4            # DMAs in flight (< K so a slot is never rewritten while
                   # the MXU may still be streaming it: K - IF edges of slack)
@@ -317,6 +318,126 @@ def _kernel_banded(nlive_ref, slot_ref, row0_ref,           # scalar prefetch
         jax.lax.fori_loop(0, BE // NSC, group, 0)
 
 
+G8 = 8           # edges per block-diagonal matmul group
+KW = 3           # group-window ring slots ((WIN, BWIN, G8*C) each)
+IFG = 2          # group DMA batches in flight
+
+
+def _kernel_banded_split(nlive_ref, slot_ref, row0_ref,     # scalar prefetch
+                         g_ref, ry_ref, rx_ref,             # per-edge VMEM
+                         fmap_hbm,                          # (mem, rows, 24, C)
+                         out_ref,
+                         win, rbuf, sems,
+                         *, C: int, PP: int):
+    """Phase-split variant: phase A streams DMA+matmul for ALL block edges
+    into a VMEM R-buffer (MXU back-to-back, no extraction interleaved);
+    phase B runs pure-VPU extraction. Probes whether the per-edge cost of
+    the interleaved kernel is pipeline stalls between engines."""
+    b = pl.program_id(0)
+
+    @pl.when(b * BE < nlive_ref[0])
+    def _run():
+        def win_dma(e):
+            q = b * BE + e
+            return pltpu.make_async_copy(
+                fmap_hbm.at[slot_ref[q], pl.ds(row0_ref[q], WIN)],
+                win.at[e % K], sems.at[e % K])
+
+        for k in range(IF):
+            win_dma(k).start()
+
+        def mm_body(e, _):
+            win_dma(e).wait()
+            w2 = win[e % K].reshape(WIN * BWIN, C)
+            R = jax.lax.dot_general(
+                w2, g_ref[e], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            @pl.when(e + IF < BE)
+            def _():
+                win_dma(e + IF).start()
+            rbuf[e] = R.reshape(WIN, BWIN, 16).astype(rbuf.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, BE, mm_body, 0)
+
+        def ext_body(e, _):
+            parts = []
+            for p in range(PP):
+                rx8 = pl.multiple_of(rx_ref[e, p] * 8, 8)
+                parts.append(rbuf[e, pl.ds(ry_ref[e, p], 8),
+                                  pl.ds(rx8, 16), p])
+            out_ref[e] = jnp.concatenate(parts, axis=1).astype(jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, BE, ext_body, 0)
+
+
+def _kernel_banded_g8(nlive_ref, slot_ref, row0_ref,        # scalar prefetch
+                      gt_ref, ry_ref, rx_ref,               # per-edge VMEM
+                      fmap_hbm,                             # (mem, rows, 24, C)
+                      out_ref,
+                      winw, gd, sc, sems,
+                      *, C: int, PP: int):
+    """Block-diagonal group kernel: 8 edges share ONE full-width MXU matmul.
+
+    W8 (WIN*BWIN, 8C) @ blockdiag(g_0^T..g_7^T) (8C, 128) -> (WIN*BWIN, 128)
+    computes all 8 edges' correlation surfaces in one issue: the same MXU
+    tile count as 8 thin (., 16)-wide matmuls (which ran the array at 1/8
+    lane utilization), but 1/8 the instruction issues and 1/8 the result
+    scratch-store traffic — the measured costs no DMA-pipelining knob could
+    move. Off-diagonal gd blocks are zeroed once (first live block) and
+    never written again; cross terms then multiply against zeros.
+    """
+    b = pl.program_id(0)
+    NG = BE // G8
+
+    @pl.when(b * BE < nlive_ref[0])
+    def _run():
+        @pl.when(b == 0)
+        def _init():
+            gd[...] = jnp.zeros_like(gd)
+
+        def gdma(gi, j):
+            q = b * BE + gi * G8 + j
+            return pltpu.make_async_copy(
+                fmap_hbm.at[slot_ref[q], pl.ds(row0_ref[q], WIN)],
+                winw.at[gi % KW, :, :, pl.ds(j * C, C)],
+                sems.at[gi % KW, j])
+
+        for gi in range(IFG):
+            for j in range(G8):
+                gdma(gi, j).start()
+
+        def group_body(gi, _):
+            for j in range(G8):
+                gdma(gi, j).wait()
+                gd[j * C:(j + 1) * C, 16 * j:16 * j + 16] = \
+                    gt_ref[gi * G8 + j]
+            W8 = winw[gi % KW].reshape(WIN * BWIN, G8 * C)
+            R8 = jax.lax.dot_general(
+                W8, gd[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (WIN*BWIN, 128)
+
+            @pl.when(gi + IFG < NG)
+            def _():
+                for j in range(G8):
+                    gdma(gi + IFG, j).start()
+
+            sc[:, :BWIN, :] = R8.reshape(WIN, BWIN, G8 * 16)
+            for j in range(G8):
+                e = gi * G8 + j
+                parts = []
+                for p in range(PP):
+                    rx8 = pl.multiple_of(rx_ref[e, p] * 8, 8)
+                    parts.append(sc[pl.ds(ry_ref[e, p], 8),
+                                    pl.ds(rx8, 16), 16 * j + p])
+                out_ref[e] = jnp.concatenate(parts, axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, NG, group_body, 0)
+
+
 def corr_level_banded(
     gmap: jnp.ndarray,     # (Mring, P, P, C) patch features (ring)
     fmap_b: jnp.ndarray,   # (mem, nbx*Hp+STAGGER, 32, C) bf16 banded frames
@@ -327,8 +448,12 @@ def corr_level_banded(
     n_live,                # () int32 packed live-edge count (<= E)
     hp: int,               # per-band padded height (banded_shape(H, W)[1])
     radius: int = 3,
-    ablate: str = "full",  # perf probe: "nomm"/"noext"/"noDMA" skip stages
-                           # (wrong results; scripts/bench_banded_tune.py)
+    ablate: str = "split", # kernel variant: "split" (phase-split DMA+MXU /
+                           # extraction, the fastest measured), "full"
+                           # (interleaved per-edge), "g8" (block-diagonal
+                           # group matmul, 15% slower, kept as a probe);
+                           # "nomm"/"noext"/"noDMA" skip stages (wrong
+                           # results; scripts/bench_banded_tune.py)
     g=None,                # (E, 16, C) bf16 pre-looked-up patch features
                            # (both pyramid levels share it — one lookup)
 ) -> jnp.ndarray:
@@ -372,6 +497,66 @@ def corr_level_banded(
         pad1 = lambda a: jnp.pad(a, [(0, padn)] + [(0, 0)] * (a.ndim - 1))
         slot_g, row0_g = pad1(slot_g), pad1(row0_g)
         ry_g, rx_g, g = pad1(ry_g), pad1(rx_g), pad1(g)
+
+    if ablate == "split":
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(EP // BE,),
+            in_specs=[
+                pl.BlockSpec((BE, 16, C), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),    # g
+                pl.BlockSpec((BE, 16), lambda b, *_: (b, 0),
+                             memory_space=pltpu.VMEM),    # ry
+                pl.BlockSpec((BE, 16), lambda b, *_: (b, 0),
+                             memory_space=pltpu.VMEM),    # rx8
+                pl.BlockSpec(memory_space=pl.ANY),        # fmap_b (HBM)
+            ],
+            out_specs=pl.BlockSpec((BE, 8, 16 * PP), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((K, WIN, BWIN, C), jnp.bfloat16),
+                pltpu.VMEM((BE, WIN, BWIN, 16), jnp.bfloat16),  # R buffer
+                pltpu.SemaphoreType.DMA((K,)),
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(_kernel_banded_split, C=C, PP=PP),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((EP, 8, 16 * PP), jnp.float32),
+        )(nlive, slot_g, row0_g, g, ry_g, rx_g, fmap_b)
+        from .corr import blend_strips
+        return blend_strips(out[:E], fx, fy, rxo, mask, PP)
+
+    if ablate == "g8":
+        gt = g.transpose(0, 2, 1)                         # (EP, C, 16)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(EP // BE,),
+            in_specs=[
+                pl.BlockSpec((BE, C, 16), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),    # g^T
+                pl.BlockSpec((BE, 16), lambda b, *_: (b, 0),
+                             memory_space=pltpu.VMEM),    # ry
+                pl.BlockSpec((BE, 16), lambda b, *_: (b, 0),
+                             memory_space=pltpu.VMEM),    # rx8
+                pl.BlockSpec(memory_space=pl.ANY),        # fmap_b (HBM)
+            ],
+            out_specs=pl.BlockSpec((BE, 8, 16 * PP), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((KW, WIN, BWIN, G8 * C), jnp.bfloat16),
+                pltpu.VMEM((G8 * C, 128), jnp.bfloat16),  # blockdiag g
+                pltpu.VMEM((WIN, BWIN + 8, G8 * 16), jnp.float32),
+                pltpu.SemaphoreType.DMA((KW, G8)),
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(_kernel_banded_g8, C=C, PP=PP),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((EP, 8, 16 * PP), jnp.float32),
+        )(nlive, slot_g, row0_g, gt, ry_g, rx_g, fmap_b)
+        from .corr import blend_strips
+        return blend_strips(out[:E], fx, fy, rxo, mask, PP)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

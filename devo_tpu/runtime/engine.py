@@ -667,6 +667,20 @@ class _EdgeCountSampler:
             return self.latest
 
 
+@functools.partial(jax.jit, static_argnums=(4,))
+def _fit_edges(ii, jj, kk, enet, E: int):
+    """Resize the edge-table arrays to capacity E in ONE dispatch. Separate
+    eager pad/slice ops cost ~30 ms dispatch each through the axon tunnel
+    plus an ~800 ms first-use remote compile — which used to bill an entire
+    chunk's worth of time to whichever frame crossed a bucket boundary."""
+    def fit(a):
+        if a.shape[0] >= E:
+            return a[:E]
+        pad = [(0, E - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, pad)
+    return fit(ii), fit(jj), fit(kk), fit(enet)
+
+
 class _BucketPrecompiler:
     """Compile-ahead of per-bucket step executables.
 
@@ -679,10 +693,12 @@ class _BucketPrecompiler:
     defers any move whose target isn't ready (growth is covered by the
     append merge's graceful tail-drop overflow in the meantime)."""
 
-    def __init__(self, run_dummy_step, caps, cap0: int):
+    def __init__(self, run_dummy_step, caps, cap0: int, dim_inet: int):
         import threading
         self._run = run_dummy_step
+        self._all_caps = sorted(set(caps) | {cap0})
         self._caps = [c for c in sorted(caps) if c != cap0]
+        self._di = dim_inet
         self._ready = {cap0}
         self._lock = threading.Lock()
         self._done = threading.Event()
@@ -697,6 +713,20 @@ class _BucketPrecompiler:
                 continue
             with self._lock:
                 self._ready.add(cap)
+        # warm the resize executables for every transition (shape-keyed jit
+        # cache): an unwarmed pair costs an ~800 ms remote compile on the
+        # frame that crosses the boundary
+        for a in self._all_caps:
+            z1 = jnp.zeros((a,), jnp.int32)
+            z2 = jnp.zeros((a, self._di), jnp.float32)
+            for b in self._all_caps:
+                if b == a:
+                    continue
+                try:
+                    jax.block_until_ready(
+                        _fit_edges(z1 + 0, z1 + 0, z1 + 0, z2 + 0.0, b))
+                except Exception:
+                    pass
         self._done.set()
 
     def ready(self, cap: int) -> bool:
@@ -755,7 +785,8 @@ class DEVO:
         # fallback is for tests, where eager per-bucket warming would just
         # burn the suite's time)
         self._precompiler = (
-            _BucketPrecompiler(self._warm_bucket, self._caps, cap0)
+            _BucketPrecompiler(self._warm_bucket, self._caps, cap0,
+                               cfg.DIM_INET)
             if jax.default_backend() == "tpu" else None)
         self._sampler = _EdgeCountSampler()
         self._frame_idx = 0
@@ -810,7 +841,11 @@ class DEVO:
         # per-edge op (and the Pallas grid) scales with the bucket.
         pf, pne = getattr(self, "_prev_sample", (f, ne))
         self._prev_sample = (f, ne)
-        growth = max(0, ne - pne) / max(1, f - pf)
+        # growth is physically bounded by one append block per frame; an
+        # unclamped estimate turned one n-increment spike (+1632 edges) into
+        # a 2-bucket over-jump whose larger per-edge ops then stuck around
+        # under the shrink hysteresis
+        growth = min(max(0, ne - pne) / max(1, f - pf), self._block / 2)
         need = int(ne + growth * (cur - f + 2)) + self._block
         cap = self.state.ii.shape[0]
         ready = (self._precompiler.ready if self._precompiler is not None
@@ -826,16 +861,8 @@ class DEVO:
         if target == cap or (target < cap and need + self._block // 2 > target):
             return  # hysteresis: only shrink with half a block of slack
         st = self.state
-        E = target
-
-        def fit(a):
-            if a.shape[0] >= E:
-                return a[:E]
-            pad = [(0, E - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
-            return jnp.pad(a, pad)
-
-        self.state = st._replace(ii=fit(st.ii), jj=fit(st.jj), kk=fit(st.kk),
-                                 enet=fit(st.enet))
+        ii, jj, kk, enet = _fit_edges(st.ii, st.jj, st.kk, st.enet, target)
+        self.state = st._replace(ii=ii, jj=jj, kk=kk, enet=enet)
 
     def upload(self, voxel):
         """Host->device voxel transfer; returns (device_array, scale).
@@ -876,7 +903,11 @@ class DEVO:
         self.state = st
         self.aux_log.append((tstamp, aux))
         self._frame_idx = getattr(self, "_frame_idx", 0) + 1
-        self._sampler.submit(self._frame_idx, aux.n_edges)
+        # sample at most every 3rd frame: each background int() read holds
+        # the tunnel for a ~31 ms round-trip, and a continuously-pending
+        # read steals ~1/3 of the main loop's dispatch bandwidth
+        if self._frame_idx % 3 == 0:
+            self._sampler.submit(self._frame_idx, aux.n_edges)
 
     def update(self):
         """Extra refinement update (used by the eval harness's 12 final

@@ -101,3 +101,20 @@ def test_banded_corr_pyramid_shapes():
         out = corr_pallas.corr_pyramid_banded(
             gmap, pyr, coords, kk, jj, mask, n_live=16, hw=(32, 40))
     assert out.shape == (16, 2 * 49 * 9)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_banded_g8_matches_xla(seed):
+    """The block-diagonal group kernel must be numerically identical to the
+    per-edge kernel path (same taps, one matmul per 8 edges)."""
+    gmap, fmap, coords, kk, jj, mask = make_case(seed, E=24)
+    gb = gmap.astype(jnp.bfloat16).astype(jnp.float32)
+    fb = fmap.astype(jnp.bfloat16).astype(jnp.float32)
+    want = corr_ops.corr(gb, fb, coords, kk, jj, radius=3)
+    want = np.asarray(want) * np.asarray(mask)[:, None]
+    fmap_b = jnp.stack([corr_pallas.band_frame(f) for f in fmap])
+    with pltpu.force_tpu_interpret_mode():
+        got = corr_pallas.corr_level_banded(
+            gmap, fmap_b, coords, kk, jj, mask, n_live=coords.shape[0],
+            hp=corr_pallas.banded_shape(32, 40)[1], ablate="g8")
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
