@@ -22,8 +22,14 @@ from .ate import TrajectoryMetrics, ate_real, compute_median_results
 
 
 def run_voxel(cfg: VOConfig, params, iterator, ht: int, wd: int,
-              seed: int = 0, final_updates: int = 12, timing: bool = False):
-    """Track one sequence; returns (poses (N,7) c2w, tstamps (N,), fps)."""
+              seed: int = 0, final_updates: int = 12, timing: bool = False,
+              engine_cache: Optional[dict] = None):
+    """Track one sequence; returns (poses (N,7) c2w, tstamps (N,), fps).
+
+    `engine_cache` (keyed by (H, W)) reuses DEVO instances — and thus their
+    compiled per-bucket executables — across trials/sequences; a fresh
+    engine per trial would re-jit every bucket (10-90 s each on the remote
+    compiler)."""
     slam = None
     t_start = None
     nframes = 0
@@ -31,7 +37,13 @@ def run_voxel(cfg: VOConfig, params, iterator, ht: int, wd: int,
         if slam is None:
             H, W = voxel.shape[-2], voxel.shape[-1]
             W_eff = W - 2 if W == 346 else W  # MVSEC crop (devo.py:466)
-            slam = DEVO(cfg, params, ht=H, wd=W_eff, seed=seed)
+            if engine_cache is not None and (H, W_eff) in engine_cache:
+                slam = engine_cache[(H, W_eff)]
+                slam.reset(seed=seed, params=params)
+            else:
+                slam = DEVO(cfg, params, ht=H, wd=W_eff, seed=seed)
+                if engine_cache is not None:
+                    engine_cache[(H, W_eff)] = slam
             t_start = time.perf_counter()
         vox_hwc = np.transpose(voxel, (1, 2, 0))  # (H, W, bins)
         slam(tss, vox_hwc, intrinsics)
@@ -59,12 +71,17 @@ def evaluate_sequence(
     traj_gt: np.ndarray, tss_gt: np.ndarray,
     trials: int = 1, ht: int = 480, wd: int = 640,
     max_diff_s: float = 0.01, outdir: Optional[str] = None, name: str = "seq",
+    engine_cache: Optional[dict] = None,
 ):
     """Seeded multi-trial evaluation; returns (median TrajectoryMetrics,
-    all metrics, fps list)."""
+    all metrics, fps list). One engine is shared across trials (and across
+    sequences if the caller passes a persistent `engine_cache`)."""
     results, fps_list = [], []
+    if engine_cache is None:
+        engine_cache = {}
     for trial in range(trials):
-        poses, tss, fps = run_voxel(cfg, params, make_iterator(), ht, wd, seed=trial)
+        poses, tss, fps = run_voxel(cfg, params, make_iterator(), ht, wd,
+                                    seed=trial, engine_cache=engine_cache)
         m = ate_real(poses, tss, traj_gt, tss_gt, max_diff=max_diff_s)
         results.append(m)
         fps_list.append(fps)

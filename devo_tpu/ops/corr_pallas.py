@@ -205,10 +205,10 @@ def corr_pyramid_pallas(gmap, pyramid, coords, kk, jj, mask, radius=3,
 # =========================================================================
 # Banded-window kernel: one contiguous DMA per edge.
 #
-# The feature map is duplicated into overlapped x-bands of width 32 at
-# stride 8 (4x HBM), stored y-major per (slot, band): any 16-row window
-# whose 8-aligned x origin falls in band b = x0/8 is ONE contiguous
-# 16*32*C block — a single-descriptor DMA (the strided 16-descriptor
+# The feature map is duplicated into overlapped x-bands of width BWIN at
+# stride 8 (BWIN/8 x HBM), stored y-major per (slot, band): any 16-row
+# window whose 8-aligned x origin falls in band b = x0/8 is ONE contiguous
+# 16*BWIN*C block — a single-descriptor DMA (the strided 16-descriptor
 # variant above measured 11 us/edge; contiguous restores DMA throughput).
 # Because the window fetch no longer needs a VMEM-resident frame slot, the
 # edges need no grouping preamble, no permutations, no output re-gather.
@@ -234,9 +234,9 @@ SC_DTYPE = jnp.float32   # result-scratch dtype (bf16 probe: halves the
 
 
 def band_frame(fmap_hw: jnp.ndarray, pad: int = PAD) -> jnp.ndarray:
-    """(H, W, C) feature frame -> (nbx*Hp + STAGGER, 32, C) bf16 overlapped
-    x-bands (flattened row-major by band) with a `pad` zero border
-    (off-image taps must read exact zeros)."""
+    """(H, W, C) feature frame -> (nbx*Hp + STAGGER, BWIN, C) bf16
+    overlapped x-bands (flattened row-major by band) with a `pad` zero
+    border (off-image taps must read exact zeros)."""
     H, W, C = fmap_hw.shape
     Hp, Wp = H + 2 * pad, W + 2 * pad
     Wp_b = ((max(Wp - BWIN, 0) + 7) // 8) * 8 + BWIN
@@ -259,7 +259,7 @@ def banded_shape(H: int, W: int, pad: int = PAD):
 
 def _kernel_banded(nlive_ref, slot_ref, row0_ref,           # scalar prefetch
                    g_ref, ry_ref, rx_ref,                   # per-edge VMEM
-                   fmap_hbm,                                # (mem, rows, 32, C)
+                   fmap_hbm,                                # (mem, rows, BWIN, C)
                    out_ref,
                    win, *scr,                               # ring + NSC + sems
                    C: int, PP: int, ablate: str = "full"):
@@ -440,7 +440,7 @@ def _kernel_banded_g8(nlive_ref, slot_ref, row0_ref,        # scalar prefetch
 
 def corr_level_banded(
     gmap: jnp.ndarray,     # (Mring, P, P, C) patch features (ring)
-    fmap_b: jnp.ndarray,   # (mem, nbx*Hp+STAGGER, 32, C) bf16 banded frames
+    fmap_b: jnp.ndarray,   # (mem, nbx*Hp+STAGGER, BWIN, C) bf16 banded frames
     coords: jnp.ndarray,   # (E, P, P, 2) at this level's resolution
     kk: jnp.ndarray,       # (E,) ring patch index
     jj: jnp.ndarray,       # (E,) ring frame slot
@@ -479,7 +479,8 @@ def corr_level_banded(
     y0 = jnp.clip(jnp.min(yf, axis=1) - R + PAD, 0, Hp - WIN)
     rx = jnp.clip(xf - R + PAD - band[:, None] * 8, 0, BWIN - 9)
     ry = jnp.clip(yf - R + PAD - y0[:, None], 0, WIN - 8)
-    rx8 = rx // 8            # aligned strip start / 8, in {0, 1, 2}
+    rx8 = rx // 8            # aligned strip start / 8, in [0, BWIN//8 - 1]
+                             # (rx clipped to BWIN - 9 above)
     rxo = rx - rx8 * 8
 
     if g is None:
@@ -608,6 +609,15 @@ def corr_pyramid_banded(gmap, banded_pyramid, coords, kk, jj, mask, n_live,
     ops/corr.corr_pyramid ([dx, dy, pixel, level]). `hw` is the level-0
     feature resolution (H, W) (stride 4 below the input image)."""
     E = coords.shape[0]
+    # `hw` must be the resolution the banded rings were built at: a caller
+    # passing a mismatched cfg.HT/WD would get wrong row0 addressing and
+    # silently-garbage correlations (band_frame rows = nbx*Hp + STAGGER)
+    for fb, lvl in zip(banded_pyramid, levels):
+        want = banded_shape(hw[0] // lvl, hw[1] // lvl)[0]
+        assert fb.shape[1] == want, (
+            f"banded ring rows {fb.shape[1]} != {want} expected for "
+            f"hw={hw} level {lvl}: hw disagrees with the resolution the "
+            f"rings were banded at")
     g = lookup_g(gmap, kk, mask)          # shared by both levels
     outs = [
         corr_level_banded(gmap, fb, coords / lvl, kk, jj, mask, n_live,

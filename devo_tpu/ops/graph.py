@@ -115,9 +115,10 @@ def fast_segment_softmax_sum(
 
     Per-segment softmax is shift-invariant, so stabilizing with the single
     GLOBAL max is mathematically exact; the only failure mode is exp
-    underflow for segments whose logits sit ~90 below the global max (the
-    update operator's logits come out of LayerNorm'd features, far inside
-    that range). Sum reductions use cumsum boundaries (sorted ids) or a
+    underflow for segments whose max logit sits >~34 below the global max
+    (the denominator guard below zeroes those segments — the update
+    operator's logits come out of LayerNorm'd features, far inside that
+    range). Sum reductions use cumsum boundaries (sorted ids) or a
     one-hot matmul — no XLA scatter, which serializes on TPU.
 
     For sorted_ids=True, masked rows must carry id == num_segments (so they
@@ -154,8 +155,12 @@ def fast_segment_softmax_sum(
     # NaN — this poisoned every update-operator gradient whenever a segment
     # was empty or its exp mass underflowed. Treat such segments as having
     # no attention mass (exactly what underflow means) on both sides.
+    # Threshold choice: 1e-15 keeps 1/db^2 <= 1e30 finite in f32 while only
+    # zeroing segments whose max logit sits >~34 below the GLOBAL max
+    # (exp(-34) ~ 1.7e-15) — far outside the LayerNorm'd logit spread the
+    # update operator produces, and ~e^11 more headroom than a 1e-10 guard.
     db = back(denom)
-    ok = db > 1e-10
+    ok = db > 1e-15
     w = jnp.where(ok, ex, 0.0) / jnp.where(ok, db, 1.0)
     agg = segsum(values * w)
     return agg, back(agg)

@@ -666,6 +666,11 @@ class _EdgeCountSampler:
         with self._lock:
             return self.latest
 
+    def reset(self):
+        with self._lock:
+            self.latest = None
+            self._pending = None
+
 
 @functools.partial(jax.jit, static_argnums=(4,))
 def _fit_edges(ii, jj, kk, enet, E: int):
@@ -776,6 +781,7 @@ class DEVO:
         # sheds edges while the sampler is still warming up
         cap0 = next((c for c in self._caps if c >= 64 * cfg.M + self._block),
                     self._caps[-1])
+        self._cap0, self._ht, self._wd = cap0, ht, wd
         self.state = init_state(cfg, ht, wd, seed, edge_cap=cap0)
         self.step_fn = make_step(self.net, cfg)
         self._update_fn = jax.jit(
@@ -803,11 +809,33 @@ class DEVO:
         cfg = self.cfg
         wire = {"i8": jnp.int8, "f16": jnp.float16}.get(
             getattr(cfg, "VOXEL_WIRE", "i8"), jnp.float32)
-        dummy = init_state(cfg, cfg.HT, cfg.WD, seed=0, edge_cap=cap)
-        voxel = jnp.zeros((cfg.HT, cfg.WD, cfg.BINS), wire)
+        # __call__ crops 346-wide MVSEC/FPV voxels to 344 BEFORE the step, so
+        # the warm shape must match or every precompiled executable misses
+        # the jit cache and the remote compile lands on a live frame
+        wd = cfg.WD - 2 if cfg.WD == 346 else cfg.WD
+        dummy = init_state(cfg, cfg.HT, wd, seed=0, edge_cap=cap)
+        voxel = jnp.zeros((cfg.HT, wd, cfg.BINS), wire)
         intr = jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32)
         out = self.step_fn(self.params, dummy, voxel, np.float32(1.0), intr)
         jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+
+    def reset(self, seed: int = 0, params=None):
+        """Reset tracking state for a new sequence/trial while KEEPING every
+        compiled executable (a fresh DEVO instance re-jits make_step, so a
+        5-trial benchmark run would pay the 10-90 s remote compile per
+        bucket per trial)."""
+        if params is not None:
+            self.params = params
+        self.state = init_state(self.cfg, self._ht, self._wd, seed,
+                                edge_cap=self._cap0)
+        self._sampler.reset()
+        self._frame_idx = 0
+        self._frames_since_check = 0
+        self._checked_once = False
+        if hasattr(self, "_prev_sample"):
+            del self._prev_sample
+        self.tlist = []
+        self.aux_log = []
 
     def wait_buckets(self, timeout=None) -> bool:
         """Block until every bucket executable is compiled (bench/eval call

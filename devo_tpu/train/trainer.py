@@ -133,17 +133,46 @@ class Trainer:
         return self._train_step
 
     # ---------------------------------------------------------- checkpoints
+    # The reference saves model + optimizer + scheduler + steps
+    # (/root/reference/train.py:271-280); dropping any of them makes a
+    # crash-resume diverge from the uninterrupted run (fresh AdamW moments,
+    # restarted OneCycle). The schedule position is implicit in `step`
+    # (optax keeps its count inside opt_state as well).
     @staticmethod
     def save_checkpoint(path: str, params, opt_state, step: int):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, {"params": params, "step": np.int64(step)}, force=True)
+        ckptr.save(path, {"params": params, "opt_state": opt_state,
+                          "step": np.int64(step)}, force=True)
         ckptr.wait_until_finished()
 
-    @staticmethod
-    def load_checkpoint(path: str):
+    def load_checkpoint(self, path: str):
+        """Restore {params, opt_state, step}. Needs `self` for the opt_state
+        pytree structure (orbax restores against an abstract target).
+        Tolerates legacy round-1 checkpoints without opt_state (re-inits the
+        optimizer and warns)."""
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(path)
+        restored = ckptr.restore(path)
+        if "opt_state" in restored:
+            # re-restore structured: opt_state round-trips as raw pytrees
+            # (lists/dicts); rebuild the optax NamedTuple structure
+            abstract_opt = jax.tree.map(
+                ocp.utils.to_shape_dtype_struct,
+                self.tx.init(restored["params"]))
+            restored = ckptr.restore(
+                path, {"params": jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                                              restored["params"]),
+                       "opt_state": abstract_opt,
+                       # a bare np.int64 scalar is rejected as an abstract
+                       # target; a 0-d array restores fine
+                       "step": np.asarray(0, np.int64)})
+        else:
+            import warnings
+            warnings.warn(f"checkpoint {path} has no opt_state "
+                          "(legacy format): optimizer moments re-initialized")
+            restored = dict(restored,
+                            opt_state=self.tx.init(restored["params"]))
+        return restored

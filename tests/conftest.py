@@ -28,3 +28,6 @@ def pytest_configure(config):
         "tests must run on CPU; jax backend was already instantiated as "
         f"{jax.default_backend()}")
     assert jax.device_count() == 8
+    config.addinivalue_line(
+        "markers", "slow: long-running integration test (engine golden, "
+        "checkpoint resume)")

@@ -59,7 +59,10 @@ def test_pallas_corr_out_of_bounds_taps_zero():
 
 
 @pytest.mark.parametrize("seed", [0, 3])
-def test_banded_corr_matches_xla(seed):
+@pytest.mark.parametrize("ablate", ["split", "full"])
+def test_banded_corr_matches_xla(seed, ablate):
+    # both shipping kernel variants (phase-split default + interleaved
+    # 'full' with rotating scratches) must stay parity-covered
     gmap, fmap, coords, kk, jj, mask = make_case(seed, E=24)
     gb = gmap.astype(jnp.bfloat16).astype(jnp.float32)
     fb = fmap.astype(jnp.bfloat16).astype(jnp.float32)
@@ -69,7 +72,7 @@ def test_banded_corr_matches_xla(seed):
     with pltpu.force_tpu_interpret_mode():
         got = corr_pallas.corr_level_banded(
             gmap, fmap_b, coords, kk, jj, mask, n_live=coords.shape[0],
-            hp=corr_pallas.banded_shape(32, 40)[1])
+            hp=corr_pallas.banded_shape(32, 40)[1], ablate=ablate)
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
 
 

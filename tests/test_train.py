@@ -78,3 +78,37 @@ def test_train_step_improves_and_shards():
         lambda a, b: a + b,
         jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()), params, p1))
     assert diff > 0
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """Save after step 1, restore, take step 2: the update must equal the
+    uninterrupted run's (reference saves model+optimizer+scheduler+steps,
+    train.py:271-280 — dropping opt_state would reset the AdamW moments)."""
+    tr = Trainer(net=EVONet(dim_inet=64, dim_fnet=32, dim=8),
+                 total_steps=100, steps_unrolled=STEPS, ppi=PPI)
+    voxels, poses, disps, intr = make_inputs()
+    B = 8
+    batch = dict(
+        voxels=jnp.tile(voxels[None], (B, 1, 1, 1, 1)),
+        poses=jnp.tile(poses[None], (B, 1, 1)),
+        disps=jnp.tile(disps[None], (B, 1, 1, 1)),
+        intrinsics=jnp.tile(intr[None], (B, 1)),
+    )
+    params, opt_state = tr.init(jax.random.PRNGKey(0), voxels)
+    step = tr.build_train_step(donate=False)
+    p1, o1, _ = step(params, opt_state, batch, jax.random.PRNGKey(1), 0)
+
+    path = str(tmp_path / "ckpt")
+    Trainer.save_checkpoint(path, p1, o1, step=1)
+    ck = tr.load_checkpoint(path)
+    assert int(ck["step"]) == 1
+    jax.tree.map(np.testing.assert_array_equal, ck["params"], p1)
+    jax.tree.map(np.testing.assert_array_equal, ck["opt_state"], o1)
+
+    # step 2 from the restored state == step 2 uninterrupted (bitwise: same
+    # executable, same inputs)
+    p2a, _, _ = step(p1, o1, batch, jax.random.PRNGKey(2), 1)
+    p2b, _, _ = step(ck["params"], ck["opt_state"], batch,
+                     jax.random.PRNGKey(2), 1)
+    jax.tree.map(np.testing.assert_array_equal, p2a, p2b)

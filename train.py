@@ -67,6 +67,16 @@ def main():
     p.add_argument("--flow_weight", type=float, default=0.1)
     p.add_argument("--scores_weight", type=float, default=0.05)
     p.add_argument("--ckpt_every", type=int, default=10_000)
+    p.add_argument("--eval_every", type=int, default=10_000,
+                   help="in-training validation cadence (ref train.py:282)")
+    p.add_argument("--val_split", default="splits/tartan/tartan_val.txt",
+                   help="file listing validation scenes (evs_left appended "
+                        "when the entry doesn't already end in it)")
+    p.add_argument("--val_datapath", default=None,
+                   help="root the val_split entries are relative to "
+                        "(defaults to --datapath)")
+    p.add_argument("--val_max_frames", type=int, default=None,
+                   help="cap frames per val sequence (smoke runs)")
     p.add_argument("--randaug", action="store_true",
                    help="enable randAug voxel augmentation (evs only)")
     p.add_argument("--crop_size", type=int, nargs=2, default=(480, 640),
@@ -98,9 +108,10 @@ def main():
     loader = data_loader(dataset, args.batch * n_dev, seed=0)
     sample = next(loader)
     if args.checkpoint:
-        ck = Trainer.load_checkpoint(args.checkpoint)
-        params, start = ck["params"], int(ck["step"])
-        opt_state = tr.tx.init(params)
+        # full resume: params + optimizer moments + schedule position
+        # (reference saves/restores all of them, train.py:271-280)
+        ck = tr.load_checkpoint(args.checkpoint)
+        params, opt_state, start = ck["params"], ck["opt_state"], int(ck["step"])
     else:
         params, opt_state = tr.init(jax.random.PRNGKey(0),
                                     jnp.asarray(sample["voxels"][0]))
@@ -109,6 +120,47 @@ def main():
     step_fn = tr.build_train_step()
     logger = Logger(args.name, total_steps=start)
     key = jax.random.PRNGKey(1234)
+
+    # validation scene list (reference evaluates TartanAir-EVS val every
+    # 10k steps and logs ATE + trajectory figures, train.py:282-294)
+    val_scenes = []
+    if args.eval_every and args.val_split and os.path.exists(args.val_split):
+        root = args.val_datapath or args.datapath
+
+        def scene_dir(entry):
+            # split entries are <env>/<env>/<difficulty>/<Pxxx>; the data
+            # tree inserts evs_left before the trajectory component
+            # (<...>/<difficulty>/evs_left/<Pxxx>/h5/*.h5)
+            if "evs_left" in entry:
+                return os.path.join(root, entry)
+            head, tail = os.path.split(entry.rstrip("/"))
+            return os.path.join(root, head, "evs_left", tail)
+
+        val_scenes = [scene_dir(s)
+                      for s in open(args.val_split).read().split()]
+        val_scenes = [s for s in val_scenes if os.path.isdir(s)]
+    val_engines = {}   # compiled engines persist across validation rounds
+
+    def run_validation(step):
+        if not val_scenes:
+            return
+        from devo_tpu.runtime.config import EVAL_CONFIGS
+        from devo_tpu.train.validate import validate_tartan_evs
+        # the engine must be built with the TRAINING net's dimensions, or
+        # net.apply re-initializes mismatched encoder shapes
+        val_cfg = EVAL_CONFIGS.get("tartanair", EVAL_CONFIGS["default"]) \
+            .replace(DIM_INET=args.dim_inet, DIM_FNET=args.dim_fnet,
+                     DIM=args.dim, PATCHES_PER_FRAME=args.patches_per_image)
+        vm = validate_tartan_evs(
+            params, val_scenes, cfg=val_cfg, engine_cache=val_engines,
+            max_frames=args.val_max_frames,
+            figures_dir=os.path.join("runs", args.name, "val_figs"),
+            step=step)
+        if vm:
+            logger.write_dict(vm)
+            print(f"[val @ {step}] " + "  ".join(
+                f"{k.split('/')[-2] if k.count('/') > 1 else k}="
+                f"{v:.2f}" for k, v in vm.items()))
 
     for step in range(start, args.steps):
         batch = {k: jnp.asarray(v) for k, v in next(loader).items()}
@@ -124,6 +176,8 @@ def main():
                 os.path.join(args.ckpt_dir, args.name, f"{step + 1:06d}"))
             Trainer.save_checkpoint(path, params, opt_state, step + 1)
             print(f"saved {path}")
+        if args.eval_every and (step + 1) % args.eval_every == 0:
+            run_validation(step + 1)
 
 
 if __name__ == "__main__":
