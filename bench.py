@@ -73,19 +73,35 @@ def main():
     # switch would otherwise charge a 10-90 s remote compile to the FPS
     slam.wait_buckets()
 
-    t0 = time.perf_counter()
-    for _ in range(N_BENCH):
-        i, vox = q.get()
-        slam(i / 30.0, vox, intr)
-    jax.block_until_ready(slam.state.poses)
-    dt = time.perf_counter() - t0
+    # timed sub-windows: one block per window. The overall number is the
+    # deliverable; the per-window spread diagnoses environment variance
+    # (cold tunnel, host contention, bucket transitions — the round-1
+    # driver measured 28.55 where the builder measured 38.15, see
+    # PERF_NOTES.md "Measurement rules")
+    WINDOWS = 4
+    per = N_BENCH // WINDOWS
+    win_fps = []
+    t_all0 = time.perf_counter()
+    for w in range(WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(per):
+            i, vox = q.get()
+            slam(i / 30.0, vox, intr)
+        jax.block_until_ready(slam.state.poses)
+        win_fps.append(per / (time.perf_counter() - t0))
+    dt = time.perf_counter() - t_all0
 
-    fps = N_BENCH / dt
+    fps = WINDOWS * per / dt
+    steady = max(win_fps)
+    spread = (max(win_fps) - min(win_fps)) / max(win_fps)
     print(json.dumps({
         "metric": "event_vo_fps_640x480",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 60.0, 3),
+        "steady_window_fps": round(steady, 2),
+        "window_fps": [round(f, 2) for f in win_fps],
+        "window_spread": round(spread, 3),
     }))
 
 

@@ -145,3 +145,48 @@ def compute_median_results(results_per_trial):
     order = np.argsort(arr)
     med = results_per_trial[order[len(order) // 2]]
     return med, float(np.median(arr))
+
+
+def compute_auc(all_ates_cm) -> float:
+    """Reference AUC score over ALL trials of ALL scenes
+    (eval_utils.py:423): mean of max(1 - ate, 0) with ate in cm — a trial
+    scores 1 at perfect tracking and 0 once its ATE exceeds 1 cm."""
+    a = np.asarray(list(all_ates_cm), np.float64)
+    if a.size == 0:
+        return 0.0
+    return float(np.maximum(1.0 - a, 0.0).mean())
+
+
+def aggregate_results(results_cm, dataset_name: str, outfolder=None):
+    """Benchmark-level aggregation mirroring the reference's
+    compute_median_results (eval_utils.py:418-450).
+
+    `results_cm`: {scene: [ate_cm per trial]}. Returns a dict with the
+    per-scene medians keyed '<dataset>/<scene>', 'AUC' over every raw
+    trial, and 'AVG' = mean of scene medians in meters. When `outfolder`
+    is given, also writes the reference's ' & '-separated (LaTeX row)
+    table of per-trial and median ATEs."""
+    out = {f"{dataset_name}/{k}": float(np.median(v))
+           for k, v in results_cm.items()}
+    all_trials = [x for v in results_cm.values() for x in v]
+    out["AUC"] = compute_auc(all_trials)
+    scene_medians = [float(np.median(v)) for v in results_cm.values()]
+    out["AVG"] = float(np.mean(scene_medians)) / 100.0 if scene_medians \
+        else float("nan")
+
+    if outfolder is not None and results_cm:
+        import os
+        os.makedirs(outfolder, exist_ok=True)
+        num_runs = max(len(v) for v in results_cm.values())
+        with open(os.path.join(outfolder,
+                               f"results_median_{dataset_name}.txt"),
+                  "w") as f:
+            f.write(" & ".join(results_cm.keys()) + "\n")
+            for i in range(num_runs):
+                f.write(" & ".join(
+                    str(v[i]) if i < len(v) else ""
+                    for v in results_cm.values()) + "\n")
+            f.write("Medians\n")
+            f.write(" & ".join(str(np.median(v))
+                               for v in results_cm.values()) + "\n")
+    return out

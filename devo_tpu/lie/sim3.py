@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from . import so3
 from .quaternion import EPS, qconj, qmul, qnormalize, qrot
 
-__all__ = ["exp", "log", "inv", "mul", "act", "act4", "matrix", "identity", "retr"]
+__all__ = ["exp", "log", "inv", "mul", "act", "act4", "matrix", "identity",
+           "retr", "adj", "adjT"]
 
 
 def identity(shape=(), dtype=jnp.float32) -> jnp.ndarray:
@@ -172,3 +173,32 @@ def retr(g: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     out = mul(exp(x), g)
     return jnp.concatenate(
         [out[..., :3], qnormalize(out[..., 3:7]), out[..., 7:8]], axis=-1)
+
+
+def adj(g: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint action Adj_g a on tangent [tau, phi, sigma] (sim3.h:89-105):
+
+      Adj = [[ sR, hat(t) R, -t ],
+             [  0,        R,  0 ],
+             [  0,        0,  1 ]]
+    """
+    t, q, s = g[..., :3], g[..., 3:7], g[..., 7:8]
+    at, ap, as_ = a[..., :3], a[..., 3:6], a[..., 6:7]
+    Rap = qrot(q, ap)
+    out_t = s * qrot(q, at) + jnp.cross(t, Rap) - as_ * t
+    return jnp.concatenate([out_t, Rap, as_], axis=-1)
+
+
+def adjT(g: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+    """Transposed adjoint Adj_g^T a (sim3.h:107-109):
+      out_tau   = s R^T a_tau
+      out_phi   = R^T (a_phi - t x a_tau)   ((hat(t)R)^T = -R^T hat(t))
+      out_sigma = a_sigma - t . a_tau
+    """
+    t, q, s = g[..., :3], g[..., 3:7], g[..., 7:8]
+    at, ap, as_ = a[..., :3], a[..., 3:6], a[..., 6:7]
+    qi = qconj(q)
+    out_t = s * qrot(qi, at)
+    out_p = qrot(qi, ap - jnp.cross(t, at))
+    out_s = as_ - jnp.sum(t * at, axis=-1, keepdims=True)
+    return jnp.concatenate([out_t, out_p, out_s], axis=-1)

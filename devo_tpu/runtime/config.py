@@ -99,16 +99,20 @@ class VOConfig:
         return dataclasses.replace(self, **kw)
 
 
-# per-benchmark overrides mirroring /root/reference/config/eval_*.yaml
+# per-benchmark overrides mirroring /root/reference/config/eval_*.yaml.
+# Eval configs use the LOSSLESS f16 voxel wire: ATE parity claims must not
+# ride on the bench's int8 quantization (i8 stays the default for raw
+# VOConfig/bench runs, where wire bytes gate frame rate).
 DEFAULT_EVS = VOConfig()
+_EVAL_BASE = DEFAULT_EVS.replace(VOXEL_WIRE="f16")
 EVAL_CONFIGS = {
-    "default": DEFAULT_EVS,                                  # KEYFRAME_THRESH 15
-    "eds": DEFAULT_EVS.replace(KEYFRAME_THRESH=25.0),
-    "fpv": DEFAULT_EVS.replace(KEYFRAME_THRESH=5.0),
-    "rpg": DEFAULT_EVS.replace(KEYFRAME_THRESH=5.0),
-    "hku": DEFAULT_EVS,
-    "mvsec": DEFAULT_EVS.replace(KEYFRAME_THRESH=5.0),
-    "vector": DEFAULT_EVS,
-    "tumvie": DEFAULT_EVS,
-    "tartanair": DEFAULT_EVS,
+    "default": _EVAL_BASE,                                   # KEYFRAME_THRESH 15
+    "eds": _EVAL_BASE.replace(KEYFRAME_THRESH=25.0),
+    "fpv": _EVAL_BASE.replace(KEYFRAME_THRESH=5.0),
+    "rpg": _EVAL_BASE.replace(KEYFRAME_THRESH=5.0),
+    "hku": _EVAL_BASE,
+    "mvsec": _EVAL_BASE.replace(KEYFRAME_THRESH=5.0),
+    "vector": _EVAL_BASE,
+    "tumvie": _EVAL_BASE,
+    "tartanair": _EVAL_BASE,
 }

@@ -77,3 +77,169 @@ def save_flow_visualization(outdir: str, flow_data: Dict):
             cv2.imwrite(os.path.join(outdir, f"{t:06d}.png"), out[..., ::-1])
         except Exception:
             pass
+
+
+def render_events(x: np.ndarray, y: np.ndarray, pol: np.ndarray,
+                  H: int, W: int) -> np.ndarray:
+    """Raw event frame: last polarity per pixel, red = neg / blue = pos on
+    white (viz_utils.py:12-26)."""
+    img = np.full((H, W, 3), 255, np.uint8)
+    mask = np.zeros((H, W), np.int32)
+    p = np.asarray(pol).astype(int)
+    p[p == 0] = -1
+    ok = (x >= 0) & (y >= 0) & (x < W) & (y < H)
+    mask[np.asarray(y)[ok].astype(np.int32),
+         np.asarray(x)[ok].astype(np.int32)] = p[ok]
+    img[mask == -1] = (255, 0, 0)
+    img[mask == 1] = (0, 0, 255)
+    return img
+
+
+def save_voxels(voxels, outdir: str, eps: float = 1e-3, prefix: str = "vox"):
+    """Render a batch of voxels to PNG files (viz_utils.py:666-728
+    visualize_voxel / visualize_N_voxels, headless form)."""
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+    paths = []
+    for i, v in enumerate(np.atleast_3d(np.asarray(voxels)).reshape(
+            -1, *np.asarray(voxels).shape[-2:]) if np.asarray(voxels).ndim > 3
+            else [np.asarray(voxels)]):
+        img = render_voxel(v if v.ndim == 3 else v[None], eps=eps)
+        p = os.path.join(outdir, f"{prefix}_{i:04d}.png")
+        _imwrite(p, img)
+        paths.append(p)
+    return paths
+
+
+def render_depth_map(depth: np.ndarray) -> np.ndarray:
+    """Inverse-depth heat map (viz_utils.py:730-739)."""
+    d = np.asarray(depth, np.float32)
+    d = (d - d.min()) / max(float(d.max() - d.min()), 1e-9)
+    out = np.zeros(d.shape + (3,), np.uint8)
+    out[..., 0] = (255 * d).astype(np.uint8)
+    out[..., 1] = (255 * (1.0 - np.abs(d - 0.5) * 2)).astype(np.uint8)
+    out[..., 2] = (255 * (1 - d)).astype(np.uint8)
+    return out
+
+
+def _imwrite(path: str, img_rgb: np.ndarray):
+    try:
+        import cv2
+        cv2.imwrite(path, np.asarray(img_rgb)[..., ::-1])
+    except Exception:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        plt.imsave(path, np.asarray(img_rgb))
+
+
+def draw_flow_lines(img: np.ndarray, coords_src: np.ndarray,
+                    coords_dst: np.ndarray, color=(0, 200, 0)) -> np.ndarray:
+    """Line from each patch center to its reprojected target
+    (viz_utils.py:212-327 viz_flow_inference core)."""
+    out = np.ascontiguousarray(img.copy())
+    try:
+        import cv2
+        for (x0, y0), (x1, y1) in zip(
+                np.asarray(coords_src).reshape(-1, 2),
+                np.asarray(coords_dst).reshape(-1, 2)):
+            cv2.line(out, (int(round(x0)), int(round(y0))),
+                     (int(round(x1)), int(round(y1))), color, 1)
+            cv2.circle(out, (int(round(x1)), int(round(y1))), 2, color, -1)
+    except Exception:
+        out = draw_patches(out, coords_dst, color)
+    return out
+
+
+def plot_patch_following(images, patch_data, outdir: str,
+                         num_frame_pairs: int = 3, seed: int = 0):
+    """Track selected patches across random frame pairs and save overlay
+    pairs (viz_utils.py:52-144): left = host frame with the patch source,
+    right = target frame with the reprojected location."""
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n = len(images)
+    for k in range(num_frame_pairs):
+        i = int(rng.integers(0, max(n - 1, 1)))
+        j = min(i + 1 + int(rng.integers(0, 3)), n - 1)
+        rec = patch_data.get(j)
+        if rec is None:
+            continue
+        ii = np.asarray(rec["ii"])
+        jj = np.asarray(rec["jj"])
+        coords = np.asarray(rec["coords_est"])
+        sel = (ii == i) & (jj == j)
+        if not sel.any():
+            continue
+        ctr = coords[sel][..., coords.shape[-3] // 2,
+                          coords.shape[-2] // 2, :] \
+            if coords.ndim >= 4 else coords[sel]
+        host = np.asarray(images[i])
+        targ = np.asarray(images[j])
+        if host.ndim == 3 and host.shape[0] <= 8:   # (bins, H, W) voxel
+            host, targ = render_voxel(host), render_voxel(targ)
+        _imwrite(os.path.join(outdir, f"pair{k}_host{i}.png"), host)
+        _imwrite(os.path.join(outdir, f"pair{k}_target{j}.png"),
+                 draw_patches(targ, ctr.reshape(-1, 2) * 4.0))
+
+
+def viz_flow_inference(outdir: str, flow_data, line_scale: float = 4.0):
+    """Per-frame flow overlays: for each tracked frame, draw lines from the
+    previous frame's patch centers to their reprojection in the current
+    frame (viz_utils.py:212-327, compact headless form). `flow_data` is
+    {fidx: {"ii", "jj", "coords_est", "img"}} as recorded by the engine."""
+    import os
+
+    viz_dir = os.path.join(outdir, "flow_viz")
+    os.makedirs(viz_dir, exist_ok=True)
+    for fidx, rec in flow_data.items():
+        img = rec.get("img")
+        if img is None:
+            continue
+        img = np.asarray(img)
+        if img.ndim == 3 and img.shape[0] <= 8:
+            img = render_voxel(img)
+        ii = np.asarray(rec["ii"])
+        jj = np.asarray(rec["jj"])
+        coords = np.asarray(rec["coords_est"])
+        jmax = jj.max() if len(jj) else 0
+        sel = (jj == jmax) & (ii == jmax - 1)
+        if not sel.any():
+            continue
+        c = coords[sel]
+        ctr = c[..., c.shape[-3] // 2, c.shape[-2] // 2, :] if c.ndim >= 4 else c
+        src = rec.get("coords_src")
+        dst = ctr.reshape(-1, 2) * line_scale
+        out = (draw_flow_lines(img, np.asarray(src).reshape(-1, 2) * line_scale,
+                               dst) if src is not None
+               else draw_patches(img, dst))
+        _imwrite(os.path.join(viz_dir, f"{int(fidx):06d}.png"), out)
+
+
+def plot_patch_depths(images, patches, outdir: str, P: int = 3):
+    """Overlay per-patch inverse depth as colored markers
+    (viz_utils.py:579-648, compact form): one PNG per frame."""
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+    pa = np.asarray(patches)
+    for i, img in enumerate(images):
+        img = np.asarray(img)
+        if img.ndim == 3 and img.shape[0] <= 8:
+            img = render_voxel(img)
+        if i >= len(pa):
+            break
+        xy = pa[i, :, :2, P // 2, P // 2] * 4.0       # (M, 2)
+        d = pa[i, :, 2, P // 2, P // 2]
+        dn = (d - d.min()) / max(float(d.max() - d.min()), 1e-9)
+        out = img.copy()
+        H, W = out.shape[:2]
+        for (x, y), z in zip(xy, dn):
+            xi, yi = int(round(x)), int(round(y))
+            if 0 <= yi < H and 0 <= xi < W:
+                out[max(yi - 2, 0):yi + 3, max(xi - 2, 0):xi + 3] = (
+                    int(255 * z), 64, int(255 * (1 - z)))
+        _imwrite(os.path.join(outdir, f"depth_{i:06d}.png"), out)

@@ -16,6 +16,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from devo_tpu.data.benchmarks import benchmark_evs_iterator, load_benchmark_gt
 from devo_tpu.data.loaders import BENCHMARK_RES, benchmark_iterator, load_tum_traj
 from devo_tpu.eval.harness import evaluate_sequence
 from devo_tpu.runtime.config import EVAL_CONFIGS
@@ -25,8 +26,8 @@ def load_params(weights: str):
     if weights.endswith(".pth"):
         from devo_tpu.utils.torch_import import load_checkpoint
         return load_checkpoint(weights)
-    from devo_tpu.train.trainer import Trainer
-    return Trainer.load_checkpoint(weights)["params"]
+    import orbax.checkpoint as ocp
+    return ocp.StandardCheckpointer().restore(weights)["params"]
 
 
 def evaluate_benchmark(benchmark: str, args) -> dict:
@@ -38,23 +39,88 @@ def evaluate_benchmark(benchmark: str, args) -> dict:
 
     scenes = open(args.val_split).read().split() if args.val_split else [""]
     results = {}
+    engine_cache = {}   # shared executables across scenes AND trials
+    if benchmark == "tartanair":
+        return _evaluate_tartanair(cfg, params, scenes, args, engine_cache)
     for scene in scenes:
         datapath = os.path.join(args.datapath, scene)
-        gt_path = os.path.join(datapath, "stamped_groundtruth_us.txt")
-        tss_gt_us, traj_gt = load_tum_traj(gt_path)
+        # per-benchmark GT formats (load_utils.py:560-634); the quirk-aware
+        # iterator knows each benchmark's file conventions, event-window
+        # rule, hot-pixel policy and start/stop crops — the generic
+        # preprocessed-tree iterator is its fallback
+        try:
+            tss_gt_us, traj_gt = load_benchmark_gt(benchmark, datapath)
+        except (FileNotFoundError, OSError):
+            tss_gt_us, traj_gt = load_tum_traj(
+                os.path.join(datapath, "stamped_groundtruth_us.txt"))
+
+        def _make_iterator(dp=datapath, gt=tss_gt_us):
+            try:
+                return benchmark_evs_iterator(benchmark, dp,
+                                              stride=args.stride, tss_gt_us=gt)
+            except (FileNotFoundError, OSError, IndexError):
+                return benchmark_iterator(benchmark, dp, stride=args.stride)
 
         med, all_res, fps = evaluate_sequence(
             cfg, params,
-            make_iterator=lambda dp=datapath: benchmark_iterator(
-                benchmark, dp, stride=args.stride),
+            make_iterator=_make_iterator,
             traj_gt=traj_gt, tss_gt=tss_gt_us / 1e6,
             trials=args.trials, ht=H, wd=W,
             outdir=args.outdir, name=scene.replace("/", "_") or benchmark,
+            engine_cache=engine_cache,
         )
         results[scene] = dict(ate_cm=med.ate, mpe=med.mpe, r_rmse=med.r_rmse,
-                              fps=float(np.mean(fps)))
+                              fps=float(np.mean(fps)),
+                              ate_trials=[r.ate for r in all_res])
         print(f"{scene}: ATE {med.ate:.2f} cm  MPE {med.mpe:.3f} %/m  "
               f"R {med.r_rmse:.2f} deg  {np.mean(fps):.1f} FPS")
+    # benchmark-level aggregation: per-scene medians + AUC + AVG, plus the
+    # reference's LaTeX-row table (eval_utils.py:418-450)
+    from devo_tpu.eval.ate import aggregate_results
+    results["_summary"] = aggregate_results(
+        {k: v["ate_trials"] for k, v in results.items()},
+        benchmark, outfolder=args.outdir)
+    return results
+
+
+def _evaluate_tartanair(cfg, params, scenes, args, engine_cache) -> dict:
+    """TartanAir-EVS validation benchmark: pre-voxelized h5 per frame under
+    <env>/<difficulty>/evs_left/<Pxxx>/h5, GT from the parallel
+    image_left pose_left.txt (NED -> xyz permute, first pose skipped —
+    voxel t accumulates events between frames t-1 and t;
+    /root/reference/evals/eval_evs/eval_tartan_evs.py:38-55)."""
+    from devo_tpu.data.loaders import voxel_h5_iterator
+    from devo_tpu.train.validate import TARTAN_INTRINSICS, _load_tartan_gt
+
+    results = {}
+    for scene in scenes:
+        parts = scene.rstrip("/").split("/")
+        if "evs_left" in parts:
+            scenedir = os.path.join(args.datapath, scene)
+        else:
+            scenedir = os.path.join(args.datapath, *parts[:-1], "evs_left",
+                                    parts[-1])
+        vdir = os.path.join(scenedir, "h5") \
+            if os.path.isdir(os.path.join(scenedir, "h5")) else scenedir
+        traj_gt = _load_tartan_gt(scenedir)
+        tss_gt = np.arange(len(traj_gt), dtype=np.float64)
+
+        med, all_res, fps = evaluate_sequence(
+            cfg, params,
+            make_iterator=lambda vd=vdir, gt=tss_gt: voxel_h5_iterator(
+                vd, TARTAN_INTRINSICS, tss_us=gt * 1e6),
+            traj_gt=traj_gt, tss_gt=tss_gt,
+            trials=args.trials, ht=480, wd=640,
+            outdir=args.outdir, name=scene.replace("/", "_") or "tartanair",
+            engine_cache=engine_cache, max_diff_s=0.5)
+        results[scene] = dict(ate_cm=med.ate, mpe=med.mpe, r_rmse=med.r_rmse,
+                              fps=float(np.mean(fps)),
+                              ate_trials=[r.ate for r in all_res])
+        print(f"{scene}: ATE {med.ate:.2f} cm  {np.mean(fps):.1f} FPS")
+    from devo_tpu.eval.ate import aggregate_results
+    results["_summary"] = aggregate_results(
+        {k: v["ate_trials"] for k, v in results.items()},
+        "tartanair", outfolder=args.outdir)
     return results
 
 

@@ -1,0 +1,155 @@
+"""Metric pinning tests for eval/ate.py.
+
+The reference cross-checks its ATE against evo to 1e-5 and against
+rpg_trajectory_evaluation (/root/reference/utils/eval_utils.py:358-375).
+evo is not installable in this image, so every reported metric is pinned
+here against hand-constructed trajectories whose ATE / MPE / rotation RMSE
+/ alignment scale are known in closed form, including scale and
+association edge cases.
+"""
+import numpy as np
+import pytest
+
+from devo_tpu.eval.ate import (aggregate_results, associate, ate_real,
+                               compute_auc, rpe, umeyama_alignment)
+
+
+def _traj(positions, quats=None):
+    n = len(positions)
+    q = quats if quats is not None else np.tile([0, 0, 0, 1.0], (n, 1))
+    return np.concatenate([np.asarray(positions, np.float64),
+                           np.asarray(q, np.float64)], axis=1)
+
+
+def _rotz(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+
+def test_exact_recovery_under_sim3():
+    # est = s R gt + t exactly -> Sim3-aligned ATE, MPE, R_rmse all 0 and
+    # the recovered scale maps est back to gt (1/s)
+    rng = np.random.default_rng(0)
+    p_gt = rng.standard_normal((50, 3))
+    s, R, t = 2.5, _rotz(0.7), np.array([1.0, -2.0, 3.0])
+    p_est = (s * (R @ p_gt.T)).T + t
+    # rotations transform consistently: q_est = R q_gt (as matrices)
+    a = 0.3
+    qz = np.array([0, 0, np.sin(a / 2), np.cos(a / 2)])  # same about z
+    tss = np.arange(50, dtype=np.float64)
+    m = ate_real(_traj(p_est, np.tile(qz, (50, 1))), tss,
+                 _traj(p_gt, np.tile(qz, (50, 1))), tss)
+    assert m.n_pairs == 50
+    assert m.ate < 1e-6
+    assert m.mpe < 1e-6
+    np.testing.assert_allclose(m.scale, 1.0 / s, rtol=1e-6)
+    # identical rotations + R_align = R^T: residual rotation angle is the
+    # alignment rotation itself applied consistently -> R @ q vs q differs
+    # by the fixed alignment rotation; skip exact pin here (covered below)
+
+
+def test_known_offset_ate_mpe_no_scale():
+    # gt on a line along x; est adds a period-4 (+d,-d,-d,+d) offset in y —
+    # zero-mean AND orthogonal to the linear x structure (a plain
+    # alternating pattern correlates with x and lets a small rotation eat
+    # part of the error). With correct_scale=False the Umeyama solution is
+    # then R=I, t=0, so ATE = d exactly and MPE = 100*d/path_length.
+    N, d = 40, 0.05
+    x = np.arange(N, dtype=np.float64) - (N - 1) / 2.0
+    p_gt = np.stack([x, np.zeros(N), np.zeros(N)], 1)
+    off = d * np.asarray([1.0, -1.0, -1.0, 1.0])[np.arange(N) % 4]
+    p_est = p_gt + np.stack([np.zeros(N), off, np.zeros(N)], 1)
+    tss = np.arange(N, dtype=np.float64)
+    m = ate_real(_traj(p_est), tss, _traj(p_gt), tss, correct_scale=False)
+    np.testing.assert_allclose(m.ate, 100.0 * d, rtol=1e-9)   # cm
+    path_len = N - 1.0
+    np.testing.assert_allclose(m.mpe, 100.0 * d / path_len, rtol=1e-9)
+    assert m.r_rmse < 1e-6
+
+
+def test_pure_scale_recovery():
+    rng = np.random.default_rng(1)
+    p_gt = rng.standard_normal((30, 3))
+    p_est = 3.7 * p_gt
+    tss = np.arange(30, dtype=np.float64)
+    m = ate_real(_traj(p_est), tss, _traj(p_gt), tss)
+    assert m.ate < 1e-6
+    np.testing.assert_allclose(m.scale, 1.0 / 3.7, rtol=1e-6)
+
+
+def test_rotation_rmse_known_angle():
+    # positions identical (alignment = identity); every est rotation is a
+    # fixed angle off the gt rotation -> r_rmse equals that angle
+    rng = np.random.default_rng(2)
+    p = rng.standard_normal((20, 3))
+    ang = np.deg2rad(5.0)
+    q_err = np.array([0, 0, np.sin(ang / 2), np.cos(ang / 2)])
+    q_gt = np.tile([0, 0, 0, 1.0], (20, 1))
+    q_est = np.tile(q_err, (20, 1))
+    tss = np.arange(20, dtype=np.float64)
+    m = ate_real(_traj(p, q_est), tss, _traj(p, q_gt), tss,
+                 correct_scale=False)
+    np.testing.assert_allclose(m.r_rmse, 5.0, rtol=1e-5)
+
+
+def test_association_max_diff():
+    # est timestamps 7 ms off associate at max_diff=10 ms; 13 ms off drop
+    t_gt = np.arange(10, dtype=np.float64)
+    ei, gi = associate(t_gt + 0.007, t_gt, max_diff=0.01)
+    assert len(ei) == 10
+    np.testing.assert_array_equal(gi, np.arange(10))
+    ei2, _ = associate(t_gt + 0.013, t_gt, max_diff=0.01)
+    # every frame except the last (nearest neighbor 13 ms away) still finds
+    # the NEXT gt stamp 987 ms away? no: nearest is t+1 at 0.987 -> too far.
+    assert len(ei2) == 0
+
+
+def test_too_few_pairs_is_inf():
+    tss = np.arange(2, dtype=np.float64)
+    p = np.zeros((2, 3))
+    m = ate_real(_traj(p), tss, _traj(p), tss + 100.0)
+    assert np.isinf(m.ate) and m.n_pairs == 0
+
+
+def test_umeyama_reflection_guard():
+    # mirrored point set must NOT be aligned with a reflection (det(R)=+1)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((25, 3))
+    y = x.copy()
+    y[:, 0] *= -1.0
+    s, R, t = umeyama_alignment(x, y)
+    assert np.linalg.det(R) > 0.99
+
+
+def test_rpe_known_step_error():
+    # straight unit-step gt; one est step stretched by e -> that delta-1
+    # pair contributes translational error e, all others 0
+    N, e = 12, 0.2
+    x = np.arange(N, dtype=np.float64)
+    p_gt = np.stack([x, np.zeros(N), np.zeros(N)], 1)
+    p_est = p_gt.copy()
+    p_est[6:, 0] += e      # single stretched step between 5 and 6
+    tss = x
+    t_rmse, r_rmse = rpe(_traj(p_est), tss, _traj(p_gt), tss, delta=1)
+    np.testing.assert_allclose(t_rmse, np.sqrt(e * e / (N - 1)), rtol=1e-9)
+    assert r_rmse < 1e-6
+
+
+def test_auc_formula():
+    # reference formula (eval_utils.py:423): mean(max(1 - ate_cm, 0))
+    np.testing.assert_allclose(compute_auc([0.5, 2.0]), 0.25)
+    np.testing.assert_allclose(compute_auc([0.0]), 1.0)
+    assert compute_auc([]) == 0.0
+
+
+def test_aggregate_results(tmp_path):
+    res = {"sceneA": [1.0, 3.0, 2.0], "sceneB": [10.0, 20.0, 30.0]}
+    out = aggregate_results(res, "bench", outfolder=str(tmp_path))
+    assert out["bench/sceneA"] == 2.0
+    assert out["bench/sceneB"] == 20.0
+    np.testing.assert_allclose(out["AVG"], (2.0 + 20.0) / 2 / 100.0)
+    np.testing.assert_allclose(
+        out["AUC"], np.maximum(1 - np.asarray([1, 3, 2, 10, 20, 30.0]),
+                               0).mean())
+    table = (tmp_path / "results_median_bench.txt").read_text()
+    assert "sceneA & sceneB" in table and "Medians" in table

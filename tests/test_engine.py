@@ -102,3 +102,59 @@ def test_engine_poses_move(engine_run):
     slam, poses, tss = engine_run
     t = poses[:, :3]
     assert np.abs(t).max() > 1e-4
+
+
+def test_engine_frame_mode():
+    """End-to-end frame-input (EVS=False, 3-channel) tracking: the engine
+    must scale images per devo.py:395, skip the empty-voxel gate, and
+    produce a finite trajectory (the reference's RGB/E2VID path)."""
+    cfg = TEST_CFG.replace(EVS=False, BINS=3, PATCH_SELECTOR="random",
+                           NORM="none", SCORER_EVAL_MODE="random",
+                           SCORER_EVAL_USE_GRID=False)
+    net = EVONet(P=cfg.P, dim_inet=cfg.DIM_INET, dim_fnet=cfg.DIM_FNET,
+                 dim=cfg.DIM, patch_selector="random", bins=3)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, HT, WD, 3)),
+                      jax.random.PRNGKey(1))["params"]
+    slam = DEVO(cfg, params, ht=HT, wd=WD, seed=0)
+    rng = np.random.default_rng(0)
+    base = (rng.random((HT, WD * 2, 3)) * 255).astype(np.float32)
+    intr = np.asarray([60.0, 60.0, WD / 2, HT / 2], np.float32)
+    for i in range(12):
+        slam(i / 30.0, base[:, 2 * i:2 * i + WD], intr)
+    assert bool(slam.state.initialized)
+    poses, tss = slam.terminate()
+    assert np.isfinite(poses).all()
+    assert len(tss) == 12    # no empty-voxel skips in frame mode
+
+
+def test_rebucket_overflow_degrades_gracefully():
+    """Force a too-small bucket (DEVO_FORCE_BUCKET): appends overflow and
+    must drop the tail while PRESERVING the packed sorted invariant and a
+    consistent n_edges — the rebucket policy's margin logic relies on this
+    (engine.py:_append_edges tail-drop overflow)."""
+    import os
+    cfg = TEST_CFG
+    params = make_params(cfg)
+    cap = 64 * cfg.M + cfg.M * (2 * cfg.PATCH_LIFETIME - 1)  # engine cap0
+    os.environ["DEVO_FORCE_BUCKET"] = str(cfg.M * 12)  # far below steady need
+    try:
+        slam = DEVO(cfg, params, ht=HT, wd=WD, seed=0)
+        assert slam.state.ii.shape[0] < cap
+        for vox, intr, ts in synthetic_voxels():
+            slam(ts, np.transpose(vox, (1, 2, 0)), intr)
+    finally:
+        del os.environ["DEVO_FORCE_BUCKET"]
+    st = slam.state
+    E = st.ii.shape[0]
+    ne = int(st.n_edges)
+    assert 0 < ne <= E
+    kk = np.asarray(st.kk[:ne])
+    jj = np.asarray(st.jj[:ne])
+    ii = np.asarray(st.ii[:ne])
+    key = kk.astype(np.int64) * 100000 + jj
+    assert (np.diff(key) > 0).all(), "overflow corrupted the sorted invariant"
+    assert (ii == kk // cfg.M).all()
+    n = int(st.n)
+    assert (jj < n).all() and (ii < n).all()
+    poses, _ = slam.terminate()
+    assert np.isfinite(poses).all()

@@ -57,7 +57,7 @@ def test_inv(name):
     np.testing.assert_allclose(np.asarray(I), I_ref, atol=1e-5)
 
 
-@pytest.mark.parametrize("name", ["so3", "se3"])
+@pytest.mark.parametrize("name", GROUPS)
 def test_adj_identity(name):
     # X * Exp(a) == Exp(Adj_X a) * X   (run_tests.py:30-41)
     g, dim, _ = GROUPS[name]
@@ -71,7 +71,7 @@ def test_adj_identity(name):
     np.testing.assert_allclose(np.asarray(rel), 0.0, atol=1e-4)
 
 
-@pytest.mark.parametrize("name", ["so3", "se3"])
+@pytest.mark.parametrize("name", GROUPS)
 def test_adjT_is_transpose_of_adj(name):
     # <Adj_X a, b> == <a, AdjT_X b>
     g, dim, _ = GROUPS[name]
@@ -108,6 +108,17 @@ def test_se3_act4_homogeneous():
     M = se3.matrix(X)
     y2 = jnp.einsum("...ij,...j->...i", M, p)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-5)
+
+
+def test_sim3_act4_homogeneous():
+    rng = np.random.default_rng(7)
+    X = sim3.exp(random_tangent(rng, 7))
+    p = jnp.asarray(rng.standard_normal((16, 4)), jnp.float32)
+    y = sim3.act4(X, p)
+    M = sim3.matrix(X)
+    y2 = jnp.einsum("...ij,...j->...i", M, p)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-5,
+                               rtol=1e-5)
 
 
 def test_se3_retr_matches_exp_mul():
