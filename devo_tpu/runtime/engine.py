@@ -46,6 +46,7 @@ from devo_tpu.ops import corr as corr_ops
 from devo_tpu.ops import corr_pallas
 from devo_tpu.ops import graph as graph_ops
 from devo_tpu.ops import lookup as lookup_ops
+from devo_tpu.ops import table as table_ops
 
 from .config import VOConfig
 
@@ -77,6 +78,13 @@ class VOState(NamedTuple):
     kk: jnp.ndarray           # (E,) i32 global patch index (frame*M + slot)
     enet: jnp.ndarray         # (E, Di) hidden state
     n_edges: jnp.ndarray      # () i32 packed count; mask == arange < n_edges
+    # keyframe-cull drops are DEFERRED: the cull only marks rows here (plus
+    # index decrements) and the next frame's append merge removes them in
+    # its single pack pass — a mid-step repack would cost a second O(E)
+    # table gather per frame. Always all-False outside the cull -> next
+    # append window; the packed prefix stays sorted throughout (kept rows
+    # never move, dropped rows are order-preserved placeholders).
+    pending_drop: jnp.ndarray  # (E,) bool
 
     # scalars
     n: jnp.ndarray            # () i32 keyframe count
@@ -144,6 +152,7 @@ def init_state(cfg: VOConfig, ht: int, wd: int, seed: int = 0,
         kk=jnp.zeros((E,), jnp.int32),
         enet=jnp.zeros((E, cfg.DIM_INET), jnp.float32),
         n_edges=jnp.int32(0),
+        pending_drop=jnp.zeros((E,), bool),
         n=jnp.int32(0),
         counter=jnp.int32(0),
         initialized=jnp.asarray(False),
@@ -154,8 +163,11 @@ def init_state(cfg: VOConfig, ht: int, wd: int, seed: int = 0,
 # ---------------------------------------------------------------- edge table
 
 def _gather_edges(st: VOState, src: jnp.ndarray) -> VOState:
-    return st._replace(ii=st.ii[src], jj=st.jj[src], kk=st.kk[src],
-                       enet=st.enet[src])
+    # one-hot MXU gather: a fancy-index gather of the 4 table arrays lowers
+    # to a serial per-row loop (~4.5 ms at E=10240, bench_table_ops.py); the
+    # exact one-hot matmul costs ~0.7 ms (ops/table.py)
+    ii, jj, kk, enet = table_ops.take_rows(src, st.ii, st.jj, st.kk, st.enet)
+    return st._replace(ii=ii, jj=jj, kk=kk, enet=enet)
 
 
 def _ss(table: jnp.ndarray, queries: jnp.ndarray, side: str) -> jnp.ndarray:
@@ -198,7 +210,9 @@ def _append_edges(cfg: VOConfig, st: VOState, drop=None) -> VOState:
     n = st.n
     Di = st.enet.shape[1]
 
-    keep = st.emask if drop is None else (st.emask & ~drop)
+    keep = st.emask & ~st.pending_drop
+    if drop is not None:
+        keep = keep & ~drop
     kk_key = jnp.where(keep, st.kk, INT_MAX)
     csum = jnp.cumsum(keep.astype(jnp.int32))
     Ne = csum[-1]
@@ -223,12 +237,18 @@ def _append_edges(cfg: VOConfig, st: VOState, drop=None) -> VOState:
     q = jnp.clip(p - cnt_before, 0, E - 1)
     src_old = jnp.minimum(_ss(csum, q, "right"), E - 1)
     fsel = jnp.clip(ins_idx, 0, F - 1)
-
-    new_kk = jnp.where(is_ins, fpatch[fsel], st.kk[src_old])
-    new_jj = jnp.where(is_ins, n - 1, st.jj[src_old])
-    new_ii = jnp.where(is_ins, fpatch[fsel] // M, st.ii[src_old])
-    new_net = jnp.where(is_ins[:, None], 0.0, st.enet[src_old])
     N1 = Ne + n_f
+
+    # banded one-hot gather: displacement is bounded below by the forward
+    # block (inserts) and above by the drop budget (purge + one deferred
+    # cull); a bigger merge falls back to the full one-hot inside the cond
+    g_ii, g_jj, g_kk, g_net = table_ops.take_rows(
+        src_old, st.ii, st.jj, st.kk, st.enet,
+        band=(F, M * (2 * r - 1)), valid_count=N1)
+    new_kk = jnp.where(is_ins, fpatch[fsel], g_kk)
+    new_jj = jnp.where(is_ins, n - 1, g_jj)
+    new_ii = jnp.where(is_ins, fpatch[fsel] // M, g_ii)
+    new_net = jnp.where(is_ins[:, None], 0.0, g_net)
 
     # ---- backward block: patches of frame n-1 x frames [max(n-r,0), n)
     B = M * r
@@ -255,7 +275,8 @@ def _append_edges(cfg: VOConfig, st: VOState, drop=None) -> VOState:
     # the rebucket policy relies on this instead of huge safety margins);
     # clamp the count so emask never claims nonexistent rows
     return st._replace(ii=new_ii, jj=new_jj, kk=new_kk, enet=new_net,
-                       n_edges=jnp.minimum(N1 + n_b, E))
+                       n_edges=jnp.minimum(N1 + n_b, E),
+                       pending_drop=jnp.zeros_like(st.pending_drop))
 
 
 def _segment_ids(cfg: VOConfig, st: VOState):
@@ -408,13 +429,20 @@ def _remove_keyframe(cfg: VOConfig, st: VOState, k) -> VOState:
     M, mem = cfg.M, cfg.MEM
     N = cfg.BUFFER_SIZE
 
+    # the cull only MARKS its edges and shifts indices; the actual repack
+    # is deferred into the next frame's append merge (nothing reads the
+    # edge table between the cull — the last op of the step — and that
+    # merge, and an immediate repack would cost a second O(E) gather per
+    # frame). Kept rows stay mutually sorted under the decrements: the
+    # maps are monotone and no kept row has ii == k or jj == k, so no ties
+    # are created among kept rows.
     drop = ((st.ii == k) | (st.jj == k)) & st.emask
     st = st._replace(
         ii=jnp.where(st.ii > k, st.ii - 1, st.ii),
         jj=jnp.where(st.jj > k, st.jj - 1, st.jj),
         kk=jnp.where(st.kk // M > k, st.kk - M, st.kk),
+        pending_drop=st.pending_drop | drop,
     )
-    st = _remove_and_pack(st, drop)
 
     # only frames (k, n) hold data that must move down one slot; that is a
     # static KEYFRAME_INDEX-1 frames — a windowed dynamic-slice move, not a
@@ -672,8 +700,8 @@ class _EdgeCountSampler:
             self._pending = None
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def _fit_edges(ii, jj, kk, enet, E: int):
+@functools.partial(jax.jit, static_argnums=(5,))
+def _fit_edges(ii, jj, kk, enet, pending, E: int):
     """Resize the edge-table arrays to capacity E in ONE dispatch. Separate
     eager pad/slice ops cost ~30 ms dispatch each through the axon tunnel
     plus an ~800 ms first-use remote compile — which used to bill an entire
@@ -683,7 +711,7 @@ def _fit_edges(ii, jj, kk, enet, E: int):
             return a[:E]
         pad = [(0, E - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
         return jnp.pad(a, pad)
-    return fit(ii), fit(jj), fit(kk), fit(enet)
+    return fit(ii), fit(jj), fit(kk), fit(enet), fit(pending)
 
 
 class _BucketPrecompiler:
@@ -724,12 +752,14 @@ class _BucketPrecompiler:
         for a in self._all_caps:
             z1 = jnp.zeros((a,), jnp.int32)
             z2 = jnp.zeros((a, self._di), jnp.float32)
+            zb = jnp.zeros((a,), bool)
             for b in self._all_caps:
                 if b == a:
                     continue
                 try:
                     jax.block_until_ready(
-                        _fit_edges(z1 + 0, z1 + 0, z1 + 0, z2 + 0.0, b))
+                        _fit_edges(z1 + 0, z1 + 0, z1 + 0, z2 + 0.0,
+                                   zb | False, b))
                 except Exception:
                     pass
         self._done.set()
@@ -784,9 +814,19 @@ class DEVO:
         self._cap0, self._ht, self._wd = cap0, ht, wd
         self.state = init_state(cfg, ht, wd, seed, edge_cap=cap0)
         self.step_fn = make_step(self.net, cfg)
-        self._update_fn = jax.jit(
-            lambda p, s: _update_once(self.net, p, self.cfg, s),
-            donate_argnums=(1,))
+        # standalone update (the harness's 12 final refinement iterations)
+        # runs OUTSIDE the per-frame step, so the previous frame's deferred
+        # keyframe cull (pending_drop) has not been absorbed by an append
+        # merge yet — flush it first or stale rows (whose frame indices were
+        # not decremented) would feed the update and BA
+        def _upd(p, s):
+            s = jax.lax.cond(
+                jnp.any(s.pending_drop),
+                lambda s: _remove_and_pack(s, s.pending_drop)._replace(
+                    pending_drop=jnp.zeros_like(s.pending_drop)),
+                lambda s: s, s)
+            return _update_once(self.net, p, self.cfg, s)
+        self._update_fn = jax.jit(_upd, donate_argnums=(1,))
         # compile every bucket executable ahead of need (TPU only: the CPU
         # fallback is for tests, where eager per-bucket warming would just
         # burn the suite's time)
@@ -889,8 +929,10 @@ class DEVO:
         if target == cap or (target < cap and need + self._block // 2 > target):
             return  # hysteresis: only shrink with half a block of slack
         st = self.state
-        ii, jj, kk, enet = _fit_edges(st.ii, st.jj, st.kk, st.enet, target)
-        self.state = st._replace(ii=ii, jj=jj, kk=kk, enet=enet)
+        ii, jj, kk, enet, pending = _fit_edges(
+            st.ii, st.jj, st.kk, st.enet, st.pending_drop, target)
+        self.state = st._replace(ii=ii, jj=jj, kk=kk, enet=enet,
+                                 pending_drop=pending)
 
     def upload(self, voxel):
         """Host->device voxel transfer; returns (device_array, scale).

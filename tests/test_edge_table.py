@@ -88,7 +88,16 @@ def test_keyframe_removal_shifts_indices():
     k = 2
     kk0, jj0, ii0 = get_table(st)
     st2 = eng._remove_keyframe(CFG, st, jnp.int32(k))
-    kk1, jj1, ii1 = get_table(st2)
+
+    # the cull is DEFERRED: it only marks pending_drop (exactly the edges
+    # touching k) and decrements indices; the pack happens at the next
+    # append merge (or the standalone-update flush)
+    ne = int(st.n_edges)
+    pend = np.asarray(st2.pending_drop[:ne])
+    touches_k = (kk0 // M == k) | (jj0 == k)
+    np.testing.assert_array_equal(pend, touches_k)
+    assert not np.asarray(st2.pending_drop[ne:]).any()
+    assert int(st2.n) == int(st.n) - 1
 
     want = []
     for kkv, jjv in zip(kk0.tolist(), jj0.tolist()):
@@ -97,10 +106,26 @@ def test_keyframe_removal_shifts_indices():
         nk = kkv - M if kkv // M > k else kkv
         nj = jjv - 1 if jjv > k else jjv
         want.append((nk, nj))
-    got = list(zip(kk1.tolist(), jj1.tolist()))
-    assert got == sorted(want)
-    assert int(st2.n) == int(st.n) - 1
-    check_invariants(st2, M)
+
+    # path 1: the standalone-update flush
+    st3 = eng._remove_and_pack(st2, st2.pending_drop)._replace(
+        pending_drop=jnp.zeros_like(st2.pending_drop))
+    kk1, jj1, _ = get_table(st3)
+    assert list(zip(kk1.tolist(), jj1.tolist())) == sorted(want)
+    check_invariants(st3, M)
+
+    # path 2: the next frame's append merge absorbs the pending drops
+    n_next = int(st2.n) + 1
+    st4 = eng._append_edges(CFG, st2._replace(n=jnp.int32(n_next)))
+    kk2, jj2, _ = get_table(st4)
+    r = CFG.PATCH_LIFETIME
+    new = [(kv, n_next - 1)
+           for kv in range(M * max(n_next - r, 0), M * (n_next - 1))]
+    new += [(kv, j) for kv in range(M * (n_next - 1), M * n_next)
+            for j in range(max(n_next - r, 0), n_next)]
+    assert list(zip(kk2.tolist(), jj2.tolist())) == sorted(want + new)
+    assert not np.asarray(st4.pending_drop).any()
+    check_invariants(st4, M)
 
 
 def test_hidden_state_follows_edges():

@@ -62,13 +62,17 @@ def run_both(cfg, n_frames=N_FRAMES):
         slow(i / 30.0, v, intr)
         st = fast.state
         ne = int(st.n_edges)
+        # keyframe culls are deferred (engine.VOState.pending_drop): the
+        # logical live table at end-of-step is the non-pending rows, whose
+        # indices the cull already decremented to match the oracle's
+        live = ~np.asarray(st.pending_drop[:ne])
         records.append(dict(
             frame=i,
             fast_n=int(st.n), slow_n=slow.n,
             fast_status=int(fast.aux_log[-1][1].status),
             fast_kf=bool(fast.aux_log[-1][1].kf_removed),
-            fast_edges=set(zip(np.asarray(st.kk[:ne]).tolist(),
-                               np.asarray(st.jj[:ne]).tolist())),
+            fast_edges=set(zip(np.asarray(st.kk[:ne])[live].tolist(),
+                               np.asarray(st.jj[:ne])[live].tolist())),
             slow_edges=set(zip(slow.kk.tolist(), slow.jj.tolist())),
             fast_poses=np.asarray(st.poses[:max(int(st.n), 1)]).copy(),
             slow_poses=slow.poses_[:max(slow.n, 1)].copy(),
