@@ -11,9 +11,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _hb(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def main():
@@ -61,17 +67,28 @@ def main():
 
     def uploader():
         for i in range(N_WARM + N_BENCH):
-            q.put((i, slam.upload(frame(i))))
+            v = slam.upload(frame(i))
+            # force the H2D copy to complete HERE: jnp.asarray only schedules
+            # the transfer, and an unmaterialized array serializes its bytes
+            # into the main thread's step dispatch (measured: bench FPS ==
+            # no-transfer FPS minus the full wire time, zero overlap)
+            jax.block_until_ready(v[0])
+            q.put((i, v))
 
     threading.Thread(target=uploader, daemon=True).start()
 
+    _hb("engine built; warming")
     for _ in range(N_WARM):
         i, vox = q.get()
         slam(i / 30.0, vox, intr)
+        if i % 12 == 0:
+            _hb(f"warm frame {i}/{N_WARM}")
     jax.block_until_ready(slam.state.poses)
     # every bucket executable must exist before timing: a mid-window bucket
     # switch would otherwise charge a 10-90 s remote compile to the FPS
+    _hb("warm done; waiting for bucket executables")
     slam.wait_buckets()
+    _hb("buckets ready; timing")
 
     # timed sub-windows: one block per window. The overall number is the
     # deliverable; the per-window spread diagnoses environment variance

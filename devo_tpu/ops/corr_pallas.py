@@ -257,12 +257,36 @@ def banded_shape(H: int, W: int, pad: int = PAD):
     return (nbx * Hp + STAGGER, Hp)
 
 
+def band_frame_i8(fmap_hw: jnp.ndarray, pad: int = PAD):
+    """band_frame with int8 storage: (rows*BWIN, C) i8 flat layout + a ()
+    f32 dequant scale.
+
+    Halves the kernel's window-DMA bytes (the measured bottleneck stage:
+    6.1 of 12.4 ms/level at 13.8k live edges, bench_banded_tune.py). The
+    layout flattens (rows, BWIN) into one dim because int8's (32, 128)
+    minimum VMEM tile would pad BWIN=24 sublanes by 33%; flat, a window is
+    one contiguous (WIN*BWIN=384, C) i8 block — 384 % 32 == 0, no padding,
+    and still a single DMA descriptor. Dequantization: the correlation is
+    linear in f, so the kernel's bf16 convert multiplies through and one
+    per-slot scale on the OUTPUT restores magnitudes (corr_level_banded)."""
+    H, W, C = fmap_hw.shape
+    f = fmap_hw.astype(jnp.float32)
+    s = jnp.max(jnp.abs(f)) / 127.0
+    s = jnp.where(s > 0, s, 1.0)
+    q = jnp.clip(jnp.round(f / s), -127, 127).astype(jnp.int8)
+    bands = band_frame(q.astype(jnp.float32), pad)  # reuse banding (exact
+    # int values <= 127 round-trip bf16 exactly)
+    rows = bands.shape[0]
+    return bands.astype(jnp.int8).reshape(rows * BWIN, C), s.astype(jnp.float32)
+
+
 def _kernel_banded(nlive_ref, slot_ref, row0_ref,           # scalar prefetch
                    g_ref, ry_ref, rx_ref,                   # per-edge VMEM
                    fmap_hbm,                                # (mem, rows, BWIN, C)
                    out_ref,
                    win, *scr,                               # ring + NSC + sems
-                   C: int, PP: int, ablate: str = "full"):
+                   C: int, PP: int, wr: int = WIN,
+                   ablate: str = "full"):
     scratches, sems = scr[:-1], scr[-1]
     b = pl.program_id(0)
 
@@ -271,7 +295,7 @@ def _kernel_banded(nlive_ref, slot_ref, row0_ref,           # scalar prefetch
         def win_dma(e):
             q = b * BE + e
             return pltpu.make_async_copy(
-                fmap_hbm.at[slot_ref[q], pl.ds(row0_ref[q], WIN)],
+                fmap_hbm.at[slot_ref[q], pl.ds(row0_ref[q], wr)],
                 win.at[e % K], sems.at[e % K])
 
         if ablate != "noDMA":
@@ -281,7 +305,7 @@ def _kernel_banded(nlive_ref, slot_ref, row0_ref,           # scalar prefetch
         def edge_body(e, sc):
             if ablate != "noDMA":
                 win_dma(e).wait()
-            w2 = win[e % K].reshape(WIN * BWIN, C)
+            w2 = win[e % K].reshape(wr * BWIN, C)
             if ablate == "nomm":
                 out_ref[e] = jnp.concatenate(
                     [w2[:8, :128], w2[:8, :16]], axis=1).astype(jnp.float32)
@@ -303,7 +327,7 @@ def _kernel_banded(nlive_ref, slot_ref, row0_ref,           # scalar prefetch
                 out_ref[e] = jnp.concatenate(
                     [R[8 * p:8 * p + 8, :] for p in range(PP)], axis=1)
                 return
-            sc[:, :BWIN, :] = R.reshape(WIN, BWIN, 16).astype(sc.dtype)
+            sc[:, :BWIN, :] = R.reshape(wr, BWIN, 16).astype(sc.dtype)
             parts = []
             for p in range(PP):
                 rx8 = pl.multiple_of(rx_ref[e, p] * 8, 8)
@@ -326,21 +350,33 @@ IFG = 2          # group DMA batches in flight
 def _kernel_banded_split(nlive_ref, slot_ref, row0_ref,     # scalar prefetch
                          g_ref, ry_ref, rx_ref,             # per-edge VMEM
                          fmap_hbm,                          # (mem, rows, 24, C)
+                                                            # or flat i8
+                                                            # (mem, rows*24, C)
                          out_ref,
                          win, rbuf, sems,
-                         *, C: int, PP: int):
+                         *, C: int, PP: int, wr: int = WIN,
+                         wi8: bool = False):
     """Phase-split variant: phase A streams DMA+matmul for ALL block edges
     into a VMEM R-buffer (MXU back-to-back, no extraction interleaved);
     phase B runs pure-VPU extraction. Probes whether the per-edge cost of
-    the interleaved kernel is pipeline stalls between engines."""
+    the interleaved kernel is pipeline stalls between engines.
+
+    wi8: the banded ring is int8 in the flat (rows*BWIN, C) layout
+    (band_frame_i8); row0 arrives pre-multiplied by BWIN and the window
+    converts to bf16 right before the matmul (a (384, C) VPU convert,
+    ~50 ns — the DMA byte halving is the point)."""
     b = pl.program_id(0)
 
     @pl.when(b * BE < nlive_ref[0])
     def _run():
         def win_dma(e):
             q = b * BE + e
+            if wi8:
+                return pltpu.make_async_copy(
+                    fmap_hbm.at[slot_ref[q], pl.ds(row0_ref[q], wr * BWIN)],
+                    win.at[e % K], sems.at[e % K])
             return pltpu.make_async_copy(
-                fmap_hbm.at[slot_ref[q], pl.ds(row0_ref[q], WIN)],
+                fmap_hbm.at[slot_ref[q], pl.ds(row0_ref[q], wr)],
                 win.at[e % K], sems.at[e % K])
 
         for k in range(IF):
@@ -348,7 +384,9 @@ def _kernel_banded_split(nlive_ref, slot_ref, row0_ref,     # scalar prefetch
 
         def mm_body(e, _):
             win_dma(e).wait()
-            w2 = win[e % K].reshape(WIN * BWIN, C)
+            w2 = win[e % K].reshape(wr * BWIN, C)
+            if wi8:
+                w2 = w2.astype(jnp.bfloat16)
             R = jax.lax.dot_general(
                 w2, g_ref[e], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -356,7 +394,7 @@ def _kernel_banded_split(nlive_ref, slot_ref, row0_ref,     # scalar prefetch
             @pl.when(e + IF < BE)
             def _():
                 win_dma(e + IF).start()
-            rbuf[e] = R.reshape(WIN, BWIN, 16).astype(rbuf.dtype)
+            rbuf[e] = R.reshape(wr, BWIN, 16).astype(rbuf.dtype)
             return 0
 
         jax.lax.fori_loop(0, BE, mm_body, 0)
@@ -378,7 +416,7 @@ def _kernel_banded_g8(nlive_ref, slot_ref, row0_ref,        # scalar prefetch
                       fmap_hbm,                             # (mem, rows, 24, C)
                       out_ref,
                       winw, gd, sc, sems,
-                      *, C: int, PP: int):
+                      *, C: int, PP: int, wr: int = WIN):
     """Block-diagonal group kernel: 8 edges share ONE full-width MXU matmul.
 
     W8 (WIN*BWIN, 8C) @ blockdiag(g_0^T..g_7^T) (8C, 128) -> (WIN*BWIN, 128)
@@ -401,7 +439,7 @@ def _kernel_banded_g8(nlive_ref, slot_ref, row0_ref,        # scalar prefetch
         def gdma(gi, j):
             q = b * BE + gi * G8 + j
             return pltpu.make_async_copy(
-                fmap_hbm.at[slot_ref[q], pl.ds(row0_ref[q], WIN)],
+                fmap_hbm.at[slot_ref[q], pl.ds(row0_ref[q], wr)],
                 winw.at[gi % KW, :, :, pl.ds(j * C, C)],
                 sems.at[gi % KW, j])
 
@@ -414,7 +452,7 @@ def _kernel_banded_g8(nlive_ref, slot_ref, row0_ref,        # scalar prefetch
                 gdma(gi, j).wait()
                 gd[j * C:(j + 1) * C, 16 * j:16 * j + 16] = \
                     gt_ref[gi * G8 + j]
-            W8 = winw[gi % KW].reshape(WIN * BWIN, G8 * C)
+            W8 = winw[gi % KW].reshape(wr * BWIN, G8 * C)
             R8 = jax.lax.dot_general(
                 W8, gd[...], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)       # (WIN*BWIN, 128)
@@ -424,7 +462,7 @@ def _kernel_banded_g8(nlive_ref, slot_ref, row0_ref,        # scalar prefetch
                 for j in range(G8):
                     gdma(gi + IFG, j).start()
 
-            sc[:, :BWIN, :] = R8.reshape(WIN, BWIN, G8 * 16)
+            sc[:, :BWIN, :] = R8.reshape(wr, BWIN, G8 * 16)
             for j in range(G8):
                 e = gi * G8 + j
                 parts = []
@@ -456,10 +494,27 @@ def corr_level_banded(
                            # results; scripts/bench_banded_tune.py)
     g=None,                # (E, 16, C) bf16 pre-looked-up patch features
                            # (both pyramid levels share it — one lookup)
+    scale=None,            # () f32 per-ring-family dequant scale array
+                           # (mem,) — required iff fmap_b is int8
+    win_rows: int = WIN,   # DMA window rows: 8 (taps + bilinear) + allowed
+                           # patch y-spread. Level 1 uses 16 (spread <= 8);
+                           # upper pyramid levels divide coords by `lvl`, so
+                           # the SAME edges fit a spread of 8/lvl and the
+                           # window shrinks to 10 at lvl=4 — 37% fewer DMA
+                           # bytes and matmul rows with zero extra clipping
 ) -> jnp.ndarray:
     """(E, 441) correlation ordered [dx, dy, pixel] (one level)."""
     assert radius == 3, "window constants assume r = 3"
-    mem, rows, _, C = fmap_b.shape
+    assert win_rows >= 8
+    wr = win_rows
+    wi8 = fmap_b.dtype == jnp.int8
+    if wi8:
+        assert scale is not None, "int8 banded rings need per-slot scales"
+        assert ablate == "split", "int8 rings implemented for 'split' only"
+        mem, rowsf, C = fmap_b.shape
+        rows = rowsf // BWIN
+    else:
+        mem, rows, _, C = fmap_b.shape
     Hp = hp
     nbx = (rows - STAGGER) // Hp
     E, P = coords.shape[0], coords.shape[1]
@@ -476,9 +531,9 @@ def corr_level_banded(
     yf = yf.astype(jnp.int32)
 
     band = jnp.clip((jnp.min(xf, axis=1) - R + PAD) // 8, 0, nbx - 1)
-    y0 = jnp.clip(jnp.min(yf, axis=1) - R + PAD, 0, Hp - WIN)
+    y0 = jnp.clip(jnp.min(yf, axis=1) - R + PAD, 0, Hp - wr)
     rx = jnp.clip(xf - R + PAD - band[:, None] * 8, 0, BWIN - 9)
-    ry = jnp.clip(yf - R + PAD - y0[:, None], 0, WIN - 8)
+    ry = jnp.clip(yf - R + PAD - y0[:, None], 0, wr - 8)
     rx8 = rx // 8            # aligned strip start / 8, in [0, BWIN//8 - 1]
                              # (rx clipped to BWIN - 9 above)
     rxo = rx - rx8 * 8
@@ -488,6 +543,8 @@ def corr_level_banded(
 
     slot_g = jnp.where(mask, jj, 0).astype(jnp.int32)
     row0_g = jnp.where(mask, band * Hp + y0, 0).astype(jnp.int32)
+    if wi8:
+        row0_g = row0_g * BWIN       # flat (rows*BWIN, C) layout
     ry_g = jnp.pad(ry, ((0, 0), (0, 16 - PP))).astype(jnp.int32)
     rx_g = jnp.pad(rx8, ((0, 0), (0, 16 - PP))).astype(jnp.int32)
     nlive = jnp.asarray(n_live, jnp.int32).reshape(1)
@@ -515,18 +572,28 @@ def corr_level_banded(
             out_specs=pl.BlockSpec((BE, 8, 16 * PP), lambda b, *_: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((K, WIN, BWIN, C), jnp.bfloat16),
-                pltpu.VMEM((BE, WIN, BWIN, 16), jnp.bfloat16),  # R buffer
+                pltpu.VMEM((K, wr * BWIN, C), jnp.int8) if wi8
+                else pltpu.VMEM((K, wr, BWIN, C), jnp.bfloat16),
+                pltpu.VMEM((BE, wr, BWIN, 16), jnp.bfloat16),  # R buffer
                 pltpu.SemaphoreType.DMA((K,)),
             ],
         )
         out = pl.pallas_call(
-            functools.partial(_kernel_banded_split, C=C, PP=PP),
+            functools.partial(_kernel_banded_split, C=C, PP=PP, wr=wr,
+                              wi8=wi8),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((EP, 8, 16 * PP), jnp.float32),
         )(nlive, slot_g, row0_g, g, ry_g, rx_g, fmap_b)
+        out = out[:E]
+        if wi8:
+            # dequantize: corr is linear in f, one per-edge scalar restores
+            # magnitudes. (E, mem) one-hot matmul — a (E,) fancy gather of
+            # the (mem,) scale table would lower to a serial loop.
+            oh = (jj[:, None] == jnp.arange(mem)[None, :]).astype(jnp.float32)
+            s_e = oh @ scale.astype(jnp.float32)
+            out = out * s_e[:, None, None]
         from .corr import blend_strips
-        return blend_strips(out[:E], fx, fy, rxo, mask, PP)
+        return blend_strips(out, fx, fy, rxo, mask, PP)
 
     if ablate == "g8":
         gt = g.transpose(0, 2, 1)                         # (EP, C, 16)
@@ -545,14 +612,14 @@ def corr_level_banded(
             out_specs=pl.BlockSpec((BE, 8, 16 * PP), lambda b, *_: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((KW, WIN, BWIN, G8 * C), jnp.bfloat16),
+                pltpu.VMEM((KW, wr, BWIN, G8 * C), jnp.bfloat16),
                 pltpu.VMEM((G8 * C, 128), jnp.bfloat16),  # blockdiag g
-                pltpu.VMEM((WIN, BWIN + 8, G8 * 16), jnp.float32),
+                pltpu.VMEM((wr, BWIN + 8, G8 * 16), jnp.float32),
                 pltpu.SemaphoreType.DMA((KW, G8)),
             ],
         )
         out = pl.pallas_call(
-            functools.partial(_kernel_banded_g8, C=C, PP=PP),
+            functools.partial(_kernel_banded_g8, C=C, PP=PP, wr=wr),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((EP, 8, 16 * PP), jnp.float32),
         )(nlive, slot_g, row0_g, gt, ry_g, rx_g, fmap_b)
@@ -574,15 +641,15 @@ def corr_level_banded(
         out_specs=pl.BlockSpec((BE, 8, 16 * PP), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=(
-            [pltpu.VMEM((K, WIN, BWIN, C), jnp.bfloat16)]   # window ring
-            + [pltpu.VMEM((WIN, BWIN + 8, 16), SC_DTYPE)
+            [pltpu.VMEM((K, wr, BWIN, C), jnp.bfloat16)]   # window ring
+            + [pltpu.VMEM((wr, BWIN + 8, 16), SC_DTYPE)
                for _ in range(NSC)]
             + [pltpu.SemaphoreType.DMA((K,))]
         ),
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel_banded, C=C, PP=PP, ablate=ablate),
+        functools.partial(_kernel_banded, C=C, PP=PP, wr=wr, ablate=ablate),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((EP, 8, 16 * PP), jnp.float32),
     )(nlive, slot_g, row0_g, g, ry_g, rx_g, fmap_b)
@@ -603,26 +670,43 @@ def lookup_g(gmap, kk, mask):
     return jnp.pad(g, ((0, 0), (0, 16 - PP), (0, 0)))
 
 
+def level_win_rows(lvl: int) -> int:
+    """Per-level DMA window rows: 8 (8x8 taps incl. bilinear) + the patch
+    y-spread budget. Level 1 budgets a spread of 8 px (edges beyond that
+    clip — projective distortion that large is residual-gated in BA
+    anyway); level `lvl` sees the SAME edges at coords/lvl, so its budget
+    is ceil(8/lvl) and the window shrinks with zero extra clipping."""
+    return 8 + max(-(-8 // lvl), 1)
+
+
 def corr_pyramid_banded(gmap, banded_pyramid, coords, kk, jj, mask, n_live,
-                        hw, radius=3, levels=(1, 4)):
+                        hw, radius=3, levels=(1, 4), scales=None, wins=None):
     """Two-level pyramid over banded feature rings; output ordering matches
     ops/corr.corr_pyramid ([dx, dy, pixel, level]). `hw` is the level-0
-    feature resolution (H, W) (stride 4 below the input image)."""
+    feature resolution (H, W) (stride 4 below the input image). `scales`:
+    per-level (mem,) f32 dequant scales, required iff the rings are int8
+    (band_frame_i8 flat layout). `wins`: per-level DMA window rows
+    (default level_win_rows: 16 at lvl 1, 10 at lvl 4)."""
     E = coords.shape[0]
+    if scales is None:
+        scales = (None,) * len(banded_pyramid)
+    if wins is None:
+        wins = tuple(level_win_rows(lvl) for lvl in levels)
     # `hw` must be the resolution the banded rings were built at: a caller
     # passing a mismatched cfg.HT/WD would get wrong row0 addressing and
     # silently-garbage correlations (band_frame rows = nbx*Hp + STAGGER)
     for fb, lvl in zip(banded_pyramid, levels):
         want = banded_shape(hw[0] // lvl, hw[1] // lvl)[0]
-        assert fb.shape[1] == want, (
-            f"banded ring rows {fb.shape[1]} != {want} expected for "
+        got = fb.shape[1] // BWIN if fb.dtype == jnp.int8 else fb.shape[1]
+        assert got == want, (
+            f"banded ring rows {got} != {want} expected for "
             f"hw={hw} level {lvl}: hw disagrees with the resolution the "
             f"rings were banded at")
     g = lookup_g(gmap, kk, mask)          # shared by both levels
     outs = [
         corr_level_banded(gmap, fb, coords / lvl, kk, jj, mask, n_live,
                           hp=banded_shape(hw[0] // lvl, hw[1] // lvl)[1],
-                          radius=radius, g=g)
-        for fb, lvl in zip(banded_pyramid, levels)
+                          radius=radius, g=g, scale=sc, win_rows=w)
+        for fb, lvl, sc, w in zip(banded_pyramid, levels, scales, wins)
     ]
     return jnp.stack(outs, axis=-1).reshape(E, -1)

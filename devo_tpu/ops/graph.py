@@ -12,8 +12,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-INVALID = jnp.int32(-1)
+# NOTE: numpy scalar, not jnp — a module-level jnp constant would
+# instantiate the device backend at import time (hanging every CLI when
+# the TPU tunnel is unreachable, even CPU-forced ones)
+INVALID = np.int32(-1)
 
 
 def neighbors(kk: jnp.ndarray, jj: jnp.ndarray, mask: jnp.ndarray):

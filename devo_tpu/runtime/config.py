@@ -62,6 +62,15 @@ class VOConfig:
                                          # "window" (slice-gather + MXU),
                                          # "pallas" (grouped VMEM-resident),
                                          # "gather" (naive reference form)
+    CORR_RING_I8: bool = True            # store the banded corr feature
+                                         #   rings as per-frame-scaled int8
+                                         #   (halves the kernel's window-DMA
+                                         #   bytes — the measured bottleneck
+                                         #   stage); corr is linear in the
+                                         #   frame features so one per-slot
+                                         #   scale on the output dequantizes
+                                         #   exactly. False = bf16 rings
+                                         #   (lossless wrt the bf16 net).
 
     def __post_init__(self):
         if self.EDGE_CAP == 0:
@@ -104,7 +113,7 @@ class VOConfig:
 # ride on the bench's int8 quantization (i8 stays the default for raw
 # VOConfig/bench runs, where wire bytes gate frame rate).
 DEFAULT_EVS = VOConfig()
-_EVAL_BASE = DEFAULT_EVS.replace(VOXEL_WIRE="f16")
+_EVAL_BASE = DEFAULT_EVS.replace(VOXEL_WIRE="f16", CORR_RING_I8=False)
 EVAL_CONFIGS = {
     "default": _EVAL_BASE,                                   # KEYFRAME_THRESH 15
     "eds": _EVAL_BASE.replace(KEYFRAME_THRESH=25.0),

@@ -50,7 +50,9 @@ from devo_tpu.ops import table as table_ops
 
 from .config import VOConfig
 
-INT_MAX = jnp.int32(0x7FFFFFFF)
+# numpy scalar on purpose: a module-level jnp constant instantiates the
+# device backend at import time (hanging every CLI if the tunnel is down)
+INT_MAX = np.int32(0x7FFFFFFF)
 
 
 class VOState(NamedTuple):
@@ -68,9 +70,14 @@ class VOState(NamedTuple):
     fmap1: jnp.ndarray        # (mem, h1, w1, Df)
     fmap2: jnp.ndarray        # (mem, h1//4, w1//4, Df)
     # banded duplicates for the corr kernel (ops/corr_pallas.py:band_frame):
-    # overlapped x-bands make every correlation window one contiguous DMA
-    fmap1b: jnp.ndarray       # (mem, nbx1, Hp1, 32, Df) bf16
-    fmap2b: jnp.ndarray       # (mem, nbx2, Hp2, 32, Df) bf16
+    # overlapped x-bands make every correlation window one contiguous DMA.
+    # bf16 (mem, rows, BWIN, Df) by default; with cfg.CORR_RING_I8 the flat
+    # int8 (mem, rows*BWIN, Df) layout (band_frame_i8) plus per-slot dequant
+    # scales fsc1/fsc2 — half the window-DMA bytes, exact after rescale
+    fmap1b: jnp.ndarray       # (mem, rows1, 24, Df) bf16 | (mem, rows1*24, Df) i8
+    fmap2b: jnp.ndarray       # (mem, rows2, 24, Df) bf16 | (mem, rows2*24, Df) i8
+    fsc1: jnp.ndarray         # (mem,) f32 dequant scales (i8 rings; else (0,))
+    fsc2: jnp.ndarray         # (mem,) f32
 
     # packed, (kk, jj)-sorted edge table
     ii: jnp.ndarray           # (E,) i32 source frame
@@ -107,8 +114,10 @@ class StepAux(NamedTuple):
                              # host can prefetch without touching the state)
 
 
-def _banded_dims(h: int, w: int):
+def _banded_dims(h: int, w: int, i8: bool = False):
     rows, _hp = corr_pallas.banded_shape(h, w)
+    if i8:
+        return (rows * corr_pallas.BWIN,)   # flat int8 layout (band_frame_i8)
     return (rows, corr_pallas.BWIN)
 
 
@@ -142,11 +151,17 @@ def init_state(cfg: VOConfig, ht: int, wd: int, seed: int = 0,
         fmap2=jnp.zeros((0 if banded else mem,
                          h1 // 4, w1 // 4, cfg.DIM_FNET), fdt),
         fmap1b=jnp.zeros((mem if banded else 0,)
-                         + _banded_dims(h1, w1) + (cfg.DIM_FNET,),
-                         jnp.bfloat16),
+                         + _banded_dims(h1, w1, cfg.CORR_RING_I8)
+                         + (cfg.DIM_FNET,),
+                         jnp.int8 if cfg.CORR_RING_I8 else jnp.bfloat16),
         fmap2b=jnp.zeros((mem if banded else 0,)
-                         + _banded_dims(h1 // 4, w1 // 4)
-                         + (cfg.DIM_FNET,), jnp.bfloat16),
+                         + _banded_dims(h1 // 4, w1 // 4, cfg.CORR_RING_I8)
+                         + (cfg.DIM_FNET,),
+                         jnp.int8 if cfg.CORR_RING_I8 else jnp.bfloat16),
+        fsc1=jnp.ones((mem if banded and cfg.CORR_RING_I8 else 0,),
+                      jnp.float32),
+        fsc2=jnp.ones((mem if banded and cfg.CORR_RING_I8 else 0,),
+                      jnp.float32),
         ii=jnp.zeros((E,), jnp.int32),
         jj=jnp.zeros((E,), jnp.int32),
         kk=jnp.zeros((E,), jnp.int32),
@@ -320,7 +335,8 @@ def _edge_features(cfg: VOConfig, st: VOState, ii, jj, kk, mask=None):
         corr_feat = corr_pallas.corr_pyramid_banded(
             st.gmap, (st.fmap1b, st.fmap2b), coords, kk_ring, jj_ring, mask,
             n_live, hw=(cfg.HT // 4, cfg.WD // 4),
-            radius=cfg.CORR_RADIUS, levels=cfg.CORR_LEVELS)
+            radius=cfg.CORR_RADIUS, levels=cfg.CORR_LEVELS,
+            scales=(st.fsc1, st.fsc2) if st.fsc1.shape[0] else None)
     elif impl == "pallas":
         corr_feat = corr_pallas.corr_pyramid_pallas(
             st.gmap, (st.fmap1, st.fmap2), coords, kk_ring, jj_ring, mask,
@@ -476,6 +492,10 @@ def _remove_keyframe(cfg: VOConfig, st: VOState, k) -> VOState:
         else st.fmap1b,
         fmap2b=_shift_ring(st.fmap2b, st.n, k, mem, L) if st.fmap2b.shape[0]
         else st.fmap2b,
+        fsc1=_shift_ring(st.fsc1, st.n, k, mem, L) if st.fsc1.shape[0]
+        else st.fsc1,
+        fsc2=_shift_ring(st.fsc2, st.n, k, mem, L) if st.fsc2.shape[0]
+        else st.fsc2,
         n=st.n - 1,
     )
 
@@ -560,12 +580,25 @@ def _write_frame(net: EVONet, params, cfg: VOConfig, st: VOState,
             fmap.astype(fdt)),
         fmap2=st.fmap2 if banded else st.fmap2.at[n % mem].set(
             fmap2.astype(fdt)),
-        fmap1b=st.fmap1b.at[n % mem].set(corr_pallas.band_frame(fmap))
-        if banded else st.fmap1b,
-        fmap2b=st.fmap2b.at[n % mem].set(corr_pallas.band_frame(fmap2))
-        if banded else st.fmap2b,
+        **_banded_writes(st, n % mem, fmap, fmap2, banded),
         counter=st.counter + 1,
     )
+
+
+def _banded_writes(st: VOState, slot, fmap, fmap2, banded: bool):
+    """Ring writes for the banded corr buffers: bf16 (rows, BWIN, C) slabs,
+    or with CORR_RING_I8 the flat int8 layout + per-slot dequant scales."""
+    if not banded:
+        return {}
+    if st.fsc1.shape[0] > 0:                  # int8 rings
+        q1, s1 = corr_pallas.band_frame_i8(fmap)
+        q2, s2 = corr_pallas.band_frame_i8(fmap2)
+        return dict(fmap1b=st.fmap1b.at[slot].set(q1),
+                    fmap2b=st.fmap2b.at[slot].set(q2),
+                    fsc1=st.fsc1.at[slot].set(s1),
+                    fsc2=st.fsc2.at[slot].set(s2))
+    return dict(fmap1b=st.fmap1b.at[slot].set(corr_pallas.band_frame(fmap)),
+                fmap2b=st.fmap2b.at[slot].set(corr_pallas.band_frame(fmap2)))
 
 
 def make_step(net: EVONet, cfg: VOConfig):

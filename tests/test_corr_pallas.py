@@ -106,6 +106,64 @@ def test_banded_corr_pyramid_shapes():
     assert out.shape == (16, 2 * 49 * 9)
 
 
+@pytest.mark.parametrize("win_rows", [10, 12])
+def test_banded_corr_small_window_matches_xla(win_rows):
+    """Shrunk DMA windows (upper pyramid levels: 10 rows at lvl 4) must be
+    exact for patches whose y-spread fits the budget (make_case patches
+    span exactly 2 px = the win_rows=10 budget)."""
+    gmap, fmap, coords, kk, jj, mask = make_case(6, E=24)
+    gb = gmap.astype(jnp.bfloat16).astype(jnp.float32)
+    fb = fmap.astype(jnp.bfloat16).astype(jnp.float32)
+    want = corr_ops.corr(gb, fb, coords, kk, jj, radius=3)
+    want = np.asarray(want) * np.asarray(mask)[:, None]
+    fmap_b = jnp.stack([corr_pallas.band_frame(f) for f in fmap])
+    with pltpu.force_tpu_interpret_mode():
+        got = corr_pallas.corr_level_banded(
+            gmap, fmap_b, coords, kk, jj, mask, n_live=coords.shape[0],
+            hp=corr_pallas.banded_shape(32, 40)[1], win_rows=win_rows)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_banded_corr_i8_matches_xla(seed):
+    """int8 banded rings (flat layout + per-slot dequant scale) must match
+    the XLA reference computed over the identically-quantized features."""
+    gmap, fmap, coords, kk, jj, mask = make_case(seed, E=24)
+    qs = [corr_pallas.band_frame_i8(f) for f in fmap]
+    fmap_b = jnp.stack([q for q, _ in qs])
+    scale = jnp.stack([s for _, s in qs])
+    assert fmap_b.dtype == jnp.int8
+    # reference over the dequantized features (the exact int values the
+    # kernel sees, times the scale it applies on the output)
+    gb = gmap.astype(jnp.bfloat16).astype(jnp.float32)
+    s = jnp.max(jnp.abs(fmap), axis=(1, 2, 3), keepdims=True) / 127.0
+    fq = jnp.clip(jnp.round(fmap / s), -127, 127) * s
+    want = corr_ops.corr(gb, fq, coords, kk, jj, radius=3)
+    want = np.asarray(want) * np.asarray(mask)[:, None]
+    with pltpu.force_tpu_interpret_mode():
+        got = corr_pallas.corr_level_banded(
+            gmap, fmap_b, coords, kk, jj, mask, n_live=coords.shape[0],
+            hp=corr_pallas.banded_shape(32, 40)[1], scale=scale)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
+
+
+def test_band_frame_i8_quantization_error_small():
+    """End-to-end quantization error of the i8 rings vs float correlation:
+    must stay far below the correlation magnitudes the update net consumes."""
+    gmap, fmap, coords, kk, jj, mask = make_case(7, E=24)
+    want = corr_ops.corr(gmap, fmap, coords, kk, jj, radius=3)
+    qs = [corr_pallas.band_frame_i8(f) for f in fmap]
+    fmap_b = jnp.stack([q for q, _ in qs])
+    scale = jnp.stack([s for _, s in qs])
+    with pltpu.force_tpu_interpret_mode():
+        got = corr_pallas.corr_level_banded(
+            gmap, fmap_b, coords, kk, jj, mask, n_live=coords.shape[0],
+            hp=corr_pallas.banded_shape(32, 40)[1], scale=scale)
+    want = np.asarray(want) * np.asarray(mask)[:, None]
+    err = np.abs(np.asarray(got) - want)
+    assert np.median(err[np.asarray(mask)]) < 0.2   # corr values are O(20)
+
+
 @pytest.mark.parametrize("seed", [0, 3])
 def test_banded_g8_matches_xla(seed):
     """The block-diagonal group kernel must be numerically identical to the
