@@ -87,15 +87,22 @@ def main():
         print(f"step {step:4d}  loss {loss:9.4f}  grad_nonfinite {nf}  "
               f"({time.time() - t0:.0f}s)", flush=True)
 
-    k = max(args.steps // 10, 1)
-    head = sum(losses[:k]) / k
-    tail = sum(losses[-k:]) / k
+    # Compare within the full-loss phase only: the first steps//10 steps run
+    # structure_only=True, whose loss has a different composition (pose terms
+    # excluded) — straddling that boundary made a decreasing run look like a
+    # regression (measured: full-phase mean fell 11.1 -> 7.8 over 360 steps
+    # while the naive head, taken in the structure-only phase, was 2.0).
+    warm = max(args.steps // 10, 1)
+    full = losses[warm:]
+    k = max(len(full) // 10, 1)
+    head = sum(full[:k]) / k
+    tail = sum(full[-k:]) / k
     ok = nonfinite_total == 0 and tail < head
     print(json.dumps({
         "steps": args.steps,
         "grad_nonfinite_total": nonfinite_total,
-        "loss_first10pct": round(head, 4),
-        "loss_last10pct": round(tail, 4),
+        "fullphase_head": round(head, 4),
+        "fullphase_tail": round(tail, 4),
         "wall_s": round(time.time() - t0, 1),
         "pass": ok,
     }))
