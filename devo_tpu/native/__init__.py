@@ -58,6 +58,10 @@ def _load():
     lib.remove_hot_pixels.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_float]
+    lib.quantize_i8.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int8)]
+    lib.quantize_i8.restype = ctypes.c_float
     _lib = lib
     return lib
 
@@ -107,6 +111,22 @@ def compute_ms_to_idx(t_us: np.ndarray) -> np.ndarray:
     lib.ms_to_idx(_cptr(t_us, ctypes.c_int64), len(t_us), n_ms,
                   _cptr(out, ctypes.c_int64))
     return out
+
+
+def quantize_i8(v: np.ndarray):
+    """(int8 array, float scale) such that v ~= out * scale; fused two-pass
+    C++ vs NumPy's 4+ allocating passes (engine.upload i8 wire hot path)."""
+    lib = _load()
+    if lib is None:
+        v = np.asarray(v, np.float32)
+        m = float(np.max(np.abs(v))) if v.size else 0.0
+        scale = m / 127.0 if m > 0 else 1.0
+        return np.clip(np.rint(v / scale), -127, 127).astype(np.int8), scale
+    v = np.ascontiguousarray(v, np.float32)
+    out = np.empty(v.shape, np.int8)
+    scale = lib.quantize_i8(_cptr(v, ctypes.c_float), v.size,
+                            _cptr(out, ctypes.c_int8))
+    return out, float(scale)
 
 
 def remove_hot_pixels(vox: np.ndarray, num_stds: float = 10.0) -> np.ndarray:

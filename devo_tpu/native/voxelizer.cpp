@@ -105,4 +105,27 @@ void remove_hot_pixels(float* vox, int bins, int H, int W, float num_stds) {
   }
 }
 
+// Fused int8 voxel-wire quantization: scale = max|v| / 127, out = rint(v /
+// scale) clipped to [-127, 127]. One max pass + one fused quantize pass at
+// memory speed — the NumPy equivalent in the engine's upload path
+// (abs/max/rint/clip/astype) makes 4+ allocating passes over the ~6 MB
+// frame voxel, which matters on the single-core bench host where quantize
+// competes with step dispatch for the CPU (PERF_NOTES.md).
+float quantize_i8(const float* v, int64_t n, int8_t* out) {
+  float m = 0.0f;
+  for (int64_t i = 0; i < n; ++i) m = std::max(m, std::fabs(v[i]));
+  if (m <= 0.0f) {
+    std::memset(out, 0, static_cast<size_t>(n));
+    return 1.0f;
+  }
+  const float scale = m / 127.0f;
+  const float inv = 127.0f / m;
+  for (int64_t i = 0; i < n; ++i) {
+    float q = std::nearbyint(v[i] * inv);
+    q = std::min(std::max(q, -127.0f), 127.0f);
+    out[i] = static_cast<int8_t>(q);
+  }
+  return scale;
+}
+
 }  // extern "C"

@@ -329,6 +329,17 @@ def _edge_features(cfg: VOConfig, st: VOState, ii, jj, kk, mask=None):
         mask = jnp.ones(ii.shape, bool)
     impl = cfg.CORR_IMPL if jax.default_backend() == "tpu" else "gather"
     if impl == "banded":
+        # trace-time guard: hw below derives row addressing from cfg.HT/WD,
+        # which must match the resolution the banded rings in `st` were
+        # built at — a mismatch (direct make_step/init_state callers passing
+        # ht/wd != cfg.HT/WD) would silently compute garbage correlations
+        exp = _banded_dims(cfg.HT // 4, cfg.WD // 4, cfg.CORR_RING_I8) \
+            + (cfg.DIM_FNET,)
+        if tuple(st.fmap1b.shape[1:]) != exp:
+            raise ValueError(
+                f"banded corr ring shape {tuple(st.fmap1b.shape[1:])} does "
+                f"not match cfg.HT/WD=({cfg.HT},{cfg.WD}) (expected {exp}); "
+                "init_state and the config disagree on resolution")
         # the table is packed, so the mask is a prefix and its sum is the
         # live count the kernel's block early-exit needs
         n_live = jnp.sum(mask).astype(jnp.int32)
@@ -981,10 +992,8 @@ class DEVO:
         load_utils.py:119-131)."""
         wire = getattr(self.cfg, "VOXEL_WIRE", "i8")
         if wire == "i8":
-            v = np.asarray(voxel, np.float32)
-            m = float(np.max(np.abs(v))) if v.size else 0.0
-            scale = m / 127.0 if m > 0 else 1.0
-            q = np.clip(np.rint(v / scale), -127, 127).astype(np.int8)
+            from devo_tpu import native
+            q, scale = native.quantize_i8(np.asarray(voxel, np.float32))
             return jnp.asarray(q), np.float32(scale)
         dt = np.float16 if wire == "f16" else np.float32
         if isinstance(voxel, np.ndarray) and voxel.dtype != dt:

@@ -41,18 +41,25 @@ class EdgeSchedule(NamedTuple):
     new_edges: int           # count of freshly added edges (prefix)
 
 
-def build_edge_schedule(n_frames: int, ppi: int, steps: int) -> List[EdgeSchedule]:
-    """Reproduce the reference's graph growth (enet.py:300, 319-339)."""
+def build_edge_schedule(n_frames: int, ppi: int, steps: int,
+                        grow_after: int = 8) -> List[EdgeSchedule]:
+    """Reproduce the reference's graph growth (enet.py:300, 319-339).
+
+    grow_after: first step index that adds a frame (reference: 8). Smaller
+    values let short unrolls (e.g. the driver's multichip dryrun) still
+    exercise the growth + edge-drop paths without compiling an 18-step graph.
+    """
+    init = min(8, grow_after, n_frames)
     ix = np.repeat(np.arange(n_frames), ppi)
-    kk, jj = np.meshgrid(np.where(ix < 8)[0], np.arange(8), indexing="ij")
+    kk, jj = np.meshgrid(np.where(ix < init)[0], np.arange(init), indexing="ij")
     kk, jj = kk.reshape(-1), jj.reshape(-1)
     ii = ix[kk]
 
     sched = []
-    n = 8
+    n = init
     for s in range(steps):
         added, new = -1, 0
-        if s >= 8 and n < n_frames:
+        if s >= grow_after and n < n_frames:
             kk1, jj1 = np.meshgrid(np.where(ix < n)[0], [n], indexing="ij")
             kk2, jj2 = np.meshgrid(np.where(ix == n)[0], np.arange(n + 1), indexing="ij")
             kk_new = np.concatenate([kk1.reshape(-1), kk2.reshape(-1)])
@@ -80,6 +87,7 @@ def evonet_forward(
     structure_only: bool = False,
     norm: str = "std2",
     randaug: bool = False,
+    grow_after: int = 8,
 ) -> List[Dict[str, Any]]:
     n_frames, H, W, _ = voxels.shape
     P = net.P
@@ -117,7 +125,7 @@ def evonet_forward(
     pyramid = (fmap, fmap2)
 
     intr_all = jnp.tile(intr4[None], (n_frames, 1))
-    sched = build_edge_schedule(n_frames, ppi, steps)
+    sched = build_edge_schedule(n_frames, ppi, steps, grow_after=grow_after)
 
     Gs = jnp.broadcast_to(se3.identity(), poses_gt.shape)
     if structure_only:

@@ -58,12 +58,14 @@ class Trainer:
         scores_weight: float = 0.05,
         mesh: Optional[Mesh] = None,
         randaug: bool = False,
+        grow_after: int = 8,
     ):
         self.net = net or EVONet()
         self.tx, self.sched = make_optimizer(lr, total_steps)
         self.steps_unrolled = steps_unrolled
         self.ppi = ppi
         self.randaug = randaug
+        self.grow_after = grow_after
         self.weights = dict(pose_weight=pose_weight, flow_weight=flow_weight,
                             scores_weight=scores_weight)
         if mesh is None:
@@ -85,7 +87,8 @@ class Trainer:
             traj = evonet_forward(
                 self.net, params, voxels, poses, disps, intr, k,
                 steps=self.steps_unrolled, ppi=self.ppi,
-                structure_only=structure_only, randaug=self.randaug)
+                structure_only=structure_only, randaug=self.randaug,
+                grow_after=self.grow_after)
             out = total_loss(traj, P=self.net.P,
                              structure_only=structure_only, **{
                                  k2: v for k2, v in self.weights.items()})

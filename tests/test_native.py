@@ -97,3 +97,24 @@ def test_event_slicer_roundtrip(tmp_path):
         assert (ev["t"] >= 10_000).all() and (ev["t"] < 60_000).all()
         want = ((t >= 10_000) & (t < 60_000)).sum()
         assert len(ev["t"]) == want
+
+
+def test_quantize_i8_matches_numpy():
+    """Fused C++ i8 wire quantizer == the NumPy reference formula
+    (engine.upload hot path; devo_tpu/native/voxelizer.cpp:quantize_i8)."""
+    from devo_tpu import native
+    rng = np.random.default_rng(7)
+    v = (rng.standard_normal((32, 40, 5)) * (rng.random((32, 40, 5)) < 0.2)
+         ).astype(np.float32)
+    q, s = native.quantize_i8(v)
+    m = float(np.abs(v).max())
+    s_ref = m / 127.0
+    q_ref = np.clip(np.rint(v / np.float32(s_ref)), -127, 127).astype(np.int8)
+    assert q.dtype == np.int8 and q.shape == v.shape
+    np.testing.assert_array_equal(q, q_ref)
+    np.testing.assert_allclose(s, s_ref, rtol=1e-6)
+    # dequantized error bounded by half a step
+    np.testing.assert_allclose(q.astype(np.float32) * s, v, atol=s / 2 + 1e-9)
+    # empty / all-zero input: scale 1, zeros
+    q0, s0 = native.quantize_i8(np.zeros((4, 4), np.float32))
+    assert s0 == 1.0 and not q0.any()

@@ -42,6 +42,26 @@ def test_edge_schedule_matches_reference_growth():
     assert sched[10].n_active_frames == 10
 
 
+def test_edge_schedule_grow_after():
+    """grow_after < 8 shrinks the initial graph and starts growth early
+    (used by the driver's multichip dryrun to exercise the growth + drop
+    paths inside a 4-step unroll); default reproduces the reference."""
+    sched = build_edge_schedule(n_frames=5, ppi=4, steps=4, grow_after=2)
+    # init graph: 2 frames * 4 ppi patches x 2 frames
+    assert len(sched[0].ii) == 2 * 4 * 2
+    assert sched[0].added_frame == -1 and sched[1].added_frame == -1
+    # step 2 adds frame 2: 8 old patches x 1 new frame + 4 new patches x 3
+    assert sched[2].added_frame == 2
+    assert sched[2].new_edges == 8 * 1 + 4 * 3
+    assert sched[3].added_frame == 3
+    assert sched[3].n_active_frames == 4
+    # default grow_after leaves the reference schedule untouched
+    ref = build_edge_schedule(n_frames=10, ppi=4, steps=12)
+    dflt = build_edge_schedule(n_frames=10, ppi=4, steps=12, grow_after=8)
+    for a, b in zip(ref, dflt):
+        assert np.array_equal(a.kk, b.kk) and a.added_frame == b.added_frame
+
+
 @pytest.mark.slow
 def test_forward_and_loss_finite():
     net = EVONet(dim_inet=64, dim_fnet=32, dim=8)
