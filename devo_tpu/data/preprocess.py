@@ -54,6 +54,59 @@ def normalize_time_offsets(indir: str, tss_evs_us: np.ndarray,
     return offset_us, out
 
 
+def new_camera_matrix(K: np.ndarray, dist: np.ndarray, H: int, W: int,
+                      model: str = "radtan",
+                      policy: str = "optimal0") -> np.ndarray:
+    """Undistorted pinhole target per the reference's per-dataset policy:
+    'optimal0' = cv2.getOptimalNewCameraMatrix(alpha=0) (pp_eds.py:81,
+    pp_hku.py:86), 'balance0'/'balance05' = the fisheye estimator at
+    balance 0 / 0.5 (pp_mvsec.py:26, pp_tumvie.py:72), 'keep' = K."""
+    if policy == "keep":
+        return np.asarray(K, np.float64)
+    if model == "fisheye" or policy.startswith("balance"):
+        bal = 0.5 if policy == "balance05" else 0.0
+        return cv2.fisheye.estimateNewCameraMatrixForUndistortRectify(
+            np.asarray(K, np.float64), np.asarray(dist[:4], np.float64),
+            (W, H), np.eye(3), balance=bal)
+    K_new, _ = cv2.getOptimalNewCameraMatrix(
+        np.asarray(K, np.float64), np.asarray(dist, np.float64), (W, H),
+        alpha=0, newImgSize=(W, H))
+    return K_new
+
+
+def undistort_images(img_paths, outdir: str, K: np.ndarray, dist: np.ndarray,
+                     K_new: np.ndarray, H: int, W: int,
+                     model: str = "radtan") -> int:
+    """Remap raw frames onto the undistorted pinhole camera and write
+    `{i:06d}.png` files (pp_eds.py:107-120, pp_hku.py:92-99,
+    pp_mvsec.py:104-116 — all use INTER_CUBIC remap, which is sharper than
+    per-image undistortImage). `img_paths` may be file paths or arrays."""
+    os.makedirs(outdir, exist_ok=True)
+    if model == "fisheye":
+        mx, my = cv2.fisheye.initUndistortRectifyMap(
+            np.asarray(K, np.float64), np.asarray(dist[:4], np.float64),
+            np.eye(3), K_new, (W, H), cv2.CV_32FC1)
+    else:
+        mx, my = cv2.initUndistortRectifyMap(
+            np.asarray(K, np.float64), np.asarray(dist, np.float64),
+            np.eye(3), K_new, (W, H), cv2.CV_32FC1)
+    n = 0
+    for i, img in enumerate(img_paths):
+        if isinstance(img, (str, os.PathLike)):
+            img = cv2.imread(str(img), cv2.IMREAD_UNCHANGED)
+        und = cv2.remap(np.asarray(img), mx, my, cv2.INTER_CUBIC)
+        cv2.imwrite(os.path.join(outdir, f"{i:06d}.png"), und)
+        n += 1
+    return n
+
+
+def save_calib_undist_txt(path: str, K_new: np.ndarray):
+    """Single-line 'fx fy cx cy' sidecar (pp_hku.py:88, pp_mvsec.py:91,
+    pp_rpg.py:139, pp_ecd.py:54 — the format the loaders read back)."""
+    with open(path, "w") as f:
+        f.write(f"{K_new[0, 0]} {K_new[1, 1]} {K_new[0, 2]} {K_new[1, 2]}")
+
+
 def compute_rectify_map(K: np.ndarray, dist: np.ndarray, H: int, W: int,
                         K_new: Optional[np.ndarray] = None,
                         fisheye: bool = False) -> np.ndarray:
@@ -115,4 +168,63 @@ def preprocess_sequence(
     rmap = compute_rectify_map(K, dist, H, W, K_new, fisheye=fisheye)
     save_rectify_map(os.path.join(indir, f"rectify_map_{calibstr}.h5"), rmap)
     save_calib_undist(os.path.join(indir, "calib_undist.json"), K_new, H, W)
+    return offset
+
+
+def preprocess_with_calib(
+    indir: str,
+    calib,                      # calibs.CamCalib (event camera)
+    suffix: str = "",           # "_calib0" / "_left" per-dataset naming
+    events_file: str = "events.h5",
+    gt_file: str = "stamped_groundtruth.txt", gt_tss_unit: float = 1e6,
+    imgs_ts_file: Optional[str] = "images_timestamps.txt",
+    images_dir: Optional[str] = None,
+    img_calib=None,             # separate frame camera (EDS rgb); None =
+                                # same sensor as the events (DAVIS)
+):
+    """Benchmark-faithful per-sequence preprocessing: time-offset
+    normalization, event rectify map under the dataset's published event
+    calibration, and (when `images_dir` is given) image undistortion under
+    the dataset's frame-camera policy with the reference's sidecar formats
+    (rectify_map{suffix}.h5, calib_undist{suffix}.txt,
+    images_undistorted{suffix}/)."""
+    H, W = calib.size
+    evpath = os.path.join(indir, events_file)
+    offset = 0
+    if os.path.exists(evpath):
+        with h5py.File(evpath, "r") as f:
+            t = np.asarray(f["events/t"] if "events" in f else f["t"])
+        gt = None
+        gtp = os.path.join(indir, gt_file)
+        if os.path.exists(gtp):
+            gt = np.loadtxt(gtp)
+            gt[:, 0] *= gt_tss_unit
+        tss_imgs = None
+        tsp = os.path.join(indir, imgs_ts_file) if imgs_ts_file else None
+        if tsp and os.path.exists(tsp):
+            tss_imgs = np.loadtxt(tsp)
+        offset, _ = normalize_time_offsets(indir, t, gt, tss_imgs)
+
+    K_new = new_camera_matrix(calib.K, calib.dist_np, H, W,
+                              calib.model, calib.policy)
+    rmap = compute_rectify_map(calib.K, calib.dist_np, H, W, K_new,
+                               fisheye=calib.model == "fisheye")
+    save_rectify_map(os.path.join(indir, f"rectify_map{suffix}.h5"), rmap)
+    save_calib_undist_txt(
+        os.path.join(indir, f"calib_undist{suffix}.txt"), K_new)
+    save_calib_undist(os.path.join(indir, f"calib_undist{suffix}.json"),
+                      K_new, H, W)
+
+    if images_dir is not None:
+        ic = img_calib or calib
+        iH, iW = ic.size if ic.size != (0, 0) else (H, W)
+        iK_new = new_camera_matrix(ic.K, ic.dist_np, iH, iW,
+                                   ic.model, ic.policy)
+        src = os.path.join(indir, images_dir)
+        imgs = sorted(
+            os.path.join(src, p) for p in os.listdir(src)
+            if p.lower().endswith((".png", ".jpg")))
+        undistort_images(imgs,
+                         os.path.join(indir, f"images_undistorted{suffix}"),
+                         ic.K, ic.dist_np, iK_new, iH, iW, ic.model)
     return offset

@@ -1,39 +1,39 @@
-"""Preprocess ecd sequences (ECD: 180x240 DAVIS240C (pp_ecd.py)).
+"""Preprocess ECD sequences (180x240 DAVIS240C).
 
-One-time per-sequence preparation mirroring /root/reference/scripts/pp_ecd.py:
-normalizes all timestamps to a common microsecond origin and computes the
-undistortion rectify map consumed by the event-voxel iterators.
+Mirrors /root/reference/scripts/pp_ecd.py: reads the sequence's shipped
+calib.txt (fx fy cx cy k1 k2 p1 p2 k3, pp_ecd.py:41-49), writes tss_us.txt
+from images.txt, the rectify map, calib_undist.txt, and undistorted images.
 
-Usage: python scripts/pp_ecd.py --indir <seq_dir> [--calib <calib.json>]
-The calib JSON must contain {"K": 3x3, "dist": [...]} for the event camera
-(as distributed with the benchmark or produced by its calibration files).
+Usage: python scripts/pp_ecd.py --indir <seq_dir>...
 """
 import argparse
-import json
 import os
 import sys
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from devo_tpu.data.preprocess import preprocess_sequence
-
-H, W = 180, 240
-FISHEYE = False
+from devo_tpu.data import calibs
+from devo_tpu.data.preprocess import preprocess_with_calib
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--indir", required=True, nargs="+")
-    p.add_argument("--calib", default=None, help="JSON with K (3x3) and dist")
+    p.add_argument("--calib", default=None, help="JSON override")
     args = p.parse_args()
     for indir in args.indir:
-        calib_path = args.calib or os.path.join(indir, "calib.json")
-        with open(calib_path) as f:
-            calib = json.load(f)
-        K = np.asarray(calib["K"], np.float64).reshape(3, 3)
-        dist = np.asarray(calib.get("dist", [0, 0, 0, 0]), np.float64)
-        off = preprocess_sequence(indir, K, dist, H, W, fisheye=FISHEYE)
+        cam = (calibs.from_user_json(args.calib) if args.calib
+               else calibs.read_ecd_calib(os.path.join(indir, "calib.txt")))
+        # images.txt: "t filename" rows; the reference dumps tss_us.txt
+        # (pp_ecd.py:35-39)
+        imtxt = os.path.join(indir, "images.txt")
+        if os.path.exists(imtxt):
+            tss = np.loadtxt(imtxt, usecols=0) * 1e6
+            np.savetxt(os.path.join(indir, "tss_us.txt"), tss, fmt="%.6f")
+        imgdir = ("images" if os.path.isdir(os.path.join(indir, "images"))
+                  else None)
+        off = preprocess_with_calib(indir, cam, images_dir=imgdir)
         print(f"{indir}: offset {off} us, rectify map + calib written")
 
 

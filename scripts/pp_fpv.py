@@ -1,39 +1,42 @@
-"""Preprocess fpv sequences (UZH-FPV: 260x346 DAVIS, fisheye (pp_fpv.py)).
+"""Preprocess UZH-FPV sequences (260x346 mDAVIS, equidistant fisheye).
 
-One-time per-sequence preparation mirroring /root/reference/scripts/pp_fpv.py:
-normalizes all timestamps to a common microsecond origin and computes the
-undistortion rectify map consumed by the event-voxel iterators.
+Mirrors /root/reference/scripts/pp_fpv.py: reads the dataset's shipped
+kalibr yaml (cam0 intrinsics + distortion_coeffs, get_calib_fpv), computes
+the fisheye rectify map (balance=0, pp_fpv.py:103-104) and undistorts the
+frames.
 
-Usage: python scripts/pp_fpv.py --indir <seq_dir> [--calib <calib.json>]
-The calib JSON must contain {"K": 3x3, "dist": [...]} for the event camera
-(as distributed with the benchmark or produced by its calibration files).
+Usage: python scripts/pp_fpv.py --indir <seq_dir>...
+       [--calib-yaml <camchain.yaml>]
 """
 import argparse
-import json
+import glob
 import os
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from devo_tpu.data.preprocess import preprocess_sequence
-
-H, W = 260, 346
-FISHEYE = True
+from devo_tpu.data import calibs
+from devo_tpu.data.preprocess import preprocess_with_calib
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--indir", required=True, nargs="+")
-    p.add_argument("--calib", default=None, help="JSON with K (3x3) and dist")
+    p.add_argument("--calib-yaml", default=None)
+    p.add_argument("--calib", default=None, help="JSON override")
     args = p.parse_args()
     for indir in args.indir:
-        calib_path = args.calib or os.path.join(indir, "calib.json")
-        with open(calib_path) as f:
-            calib = json.load(f)
-        K = np.asarray(calib["K"], np.float64).reshape(3, 3)
-        dist = np.asarray(calib.get("dist", [0, 0, 0, 0]), np.float64)
-        off = preprocess_sequence(indir, K, dist, H, W, fisheye=FISHEYE)
+        if args.calib:
+            cam = calibs.from_user_json(args.calib)
+        else:
+            cy = args.calib_yaml or next(
+                iter(glob.glob(os.path.join(indir, "*camchain*.yaml"))), None)
+            if cy is None:
+                raise SystemExit(f"{indir}: no kalibr camchain yaml found")
+            cam = calibs.read_fpv_calib(cy)
+        imgdir = ("img" if os.path.isdir(os.path.join(indir, "img"))
+                  else "images" if os.path.isdir(os.path.join(indir, "images"))
+                  else None)
+        off = preprocess_with_calib(indir, cam, images_dir=imgdir)
         print(f"{indir}: offset {off} us, rectify map + calib written")
 
 

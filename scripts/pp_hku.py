@@ -1,39 +1,45 @@
-"""Preprocess hku sequences (HKU: 260x346 DAVIS346 (pp_hku.py)).
+"""Preprocess HKU sequences (260x346 DAVIS346, events + frames share the
+sensor).
 
-One-time per-sequence preparation mirroring /root/reference/scripts/pp_hku.py:
-normalizes all timestamps to a common microsecond origin and computes the
-undistortion rectify map consumed by the event-voxel iterators.
+Mirrors /root/reference/scripts/pp_hku.py: per-side published intrinsics are
+built in (pp_hku.py:29-49), images are undistorted to
+images_undistorted_{side}/, and the rectify map + calib_undist_{side}.txt
+sidecars are written. Raw .bag extraction (events/images/Vicon poses with
+the marker/stereo extrinsics, pp_hku.py:100-145) is provided by
+devo_tpu.data.stream.rosbag_event_stream + calibs.HKU_T_* when the optional
+`rosbags` package is present; this CLI expects the extracted
+events.h5/images tree.
 
-Usage: python scripts/pp_hku.py --indir <seq_dir> [--calib <calib.json>]
-The calib JSON must contain {"K": 3x3, "dist": [...]} for the event camera
-(as distributed with the benchmark or produced by its calibration files).
+Usage: python scripts/pp_hku.py --indir <seq_dir>... [--side left]
 """
 import argparse
-import json
 import os
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from devo_tpu.data.preprocess import preprocess_sequence
-
-H, W = 260, 346
-FISHEYE = False
+from devo_tpu.data import calibs
+from devo_tpu.data.preprocess import preprocess_with_calib
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--indir", required=True, nargs="+")
-    p.add_argument("--calib", default=None, help="JSON with K (3x3) and dist")
+    p.add_argument("--side", default="left", choices=["left", "right"])
+    p.add_argument("--calib", default=None, help="JSON override")
     args = p.parse_args()
     for indir in args.indir:
-        calib_path = args.calib or os.path.join(indir, "calib.json")
-        with open(calib_path) as f:
-            calib = json.load(f)
-        K = np.asarray(calib["K"], np.float64).reshape(3, 3)
-        dist = np.asarray(calib.get("dist", [0, 0, 0, 0]), np.float64)
-        off = preprocess_sequence(indir, K, dist, H, W, fisheye=FISHEYE)
+        cam = (calibs.from_user_json(args.calib) if args.calib
+               else calibs.HKU[args.side])
+        imgdir = "images" if os.path.isdir(os.path.join(indir, "images")) \
+            else None
+        off = preprocess_with_calib(
+            indir, cam, suffix=f"_{args.side}",
+            events_file=f"evs_{args.side}.h5"
+            if os.path.exists(os.path.join(indir, f"evs_{args.side}.h5"))
+            else "events.h5",
+            gt_file=f"gt_stamped_{args.side}.txt",
+            imgs_ts_file=f"tss_imgs_us_{args.side}.txt",
+            images_dir=imgdir)
         print(f"{indir}: offset {off} us, rectify map + calib written")
 
 

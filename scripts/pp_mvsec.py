@@ -1,39 +1,45 @@
-"""Preprocess mvsec sequences (MVSEC: 260x346 DAVIS, fisheye (pp_mvsec.py:15-41)).
+"""Preprocess MVSEC sequences (260x346 DAVIS, equidistant fisheye).
 
-One-time per-sequence preparation mirroring /root/reference/scripts/pp_mvsec.py:
-normalizes all timestamps to a common microsecond origin and computes the
-undistortion rectify map consumed by the event-voxel iterators.
+Mirrors /root/reference/scripts/pp_mvsec.py: reads the dataset's shipped
+kalibr camchain (camchain-imucam-*.yaml, cam0=left / cam1=right,
+pp_mvsec.py:82-88), computes the fisheye rectify map (balance=0,
+pp_mvsec.py:15-41), undistorts the DAVIS frames, and writes
+rectify_map_{side}.h5 + calib_undist_{side}.txt.
 
-Usage: python scripts/pp_mvsec.py --indir <seq_dir> [--calib <calib.json>]
-The calib JSON must contain {"K": 3x3, "dist": [...]} for the event camera
-(as distributed with the benchmark or produced by its calibration files).
+Usage: python scripts/pp_mvsec.py --indir <seq_dir>... [--side left]
+       [--camchain <yaml>]   (default: ../indoor_flying_calib/
+                              camchain-imucam-indoor_flying.yaml per seq)
 """
 import argparse
-import json
 import os
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from devo_tpu.data.preprocess import preprocess_sequence
-
-H, W = 260, 346
-FISHEYE = True
+from devo_tpu.data import calibs
+from devo_tpu.data.preprocess import preprocess_with_calib
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--indir", required=True, nargs="+")
-    p.add_argument("--calib", default=None, help="JSON with K (3x3) and dist")
+    p.add_argument("--side", default="left", choices=["left", "right"])
+    p.add_argument("--camchain", default=None)
+    p.add_argument("--calib", default=None, help="JSON override")
     args = p.parse_args()
     for indir in args.indir:
-        calib_path = args.calib or os.path.join(indir, "calib.json")
-        with open(calib_path) as f:
-            calib = json.load(f)
-        K = np.asarray(calib["K"], np.float64).reshape(3, 3)
-        dist = np.asarray(calib.get("dist", [0, 0, 0, 0]), np.float64)
-        off = preprocess_sequence(indir, K, dist, H, W, fisheye=FISHEYE)
+        if args.calib:
+            cam = calibs.from_user_json(args.calib)
+        else:
+            chain = args.camchain or os.path.join(
+                indir, "../indoor_flying_calib/"
+                "camchain-imucam-indoor_flying.yaml")
+            cam = calibs.read_mvsec_camchain(chain, args.side)
+        imgdir = ("images" if os.path.isdir(os.path.join(indir, "images"))
+                  else None)
+        off = preprocess_with_calib(
+            indir, cam, suffix=f"_{args.side}",
+            imgs_ts_file=f"tss_imgs_us_{args.side}.txt",
+            images_dir=imgdir)
         print(f"{indir}: offset {off} us, rectify map + calib written")
 
 

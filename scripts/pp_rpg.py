@@ -1,39 +1,33 @@
-"""Preprocess rpg sequences (RPG stereo DAVIS 180x240 (pp_rpg.py)).
+"""Preprocess RPG stereo-DAVIS sequences (180x240).
 
-One-time per-sequence preparation mirroring /root/reference/scripts/pp_rpg.py:
-normalizes all timestamps to a common microsecond origin and computes the
-undistortion rectify map consumed by the event-voxel iterators.
+Mirrors /root/reference/scripts/pp_rpg.py: the 180x240 sequences' published
+per-side radtan intrinsics are built in (pp_rpg.py:28-45); 260x346 variants
+(whose calibration lives in the rosbag camera_info) take a --calib JSON.
 
-Usage: python scripts/pp_rpg.py --indir <seq_dir> [--calib <calib.json>]
-The calib JSON must contain {"K": 3x3, "dist": [...]} for the event camera
-(as distributed with the benchmark or produced by its calibration files).
+Usage: python scripts/pp_rpg.py --indir <seq_dir>... [--side left]
 """
 import argparse
-import json
 import os
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from devo_tpu.data.preprocess import preprocess_sequence
-
-H, W = 180, 240
-FISHEYE = False
+from devo_tpu.data import calibs
+from devo_tpu.data.preprocess import preprocess_with_calib
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--indir", required=True, nargs="+")
-    p.add_argument("--calib", default=None, help="JSON with K (3x3) and dist")
+    p.add_argument("--side", default="left", choices=["left", "right"])
+    p.add_argument("--calib", default=None,
+                   help="JSON override (required for 260x346 sequences)")
     args = p.parse_args()
     for indir in args.indir:
-        calib_path = args.calib or os.path.join(indir, "calib.json")
-        with open(calib_path) as f:
-            calib = json.load(f)
-        K = np.asarray(calib["K"], np.float64).reshape(3, 3)
-        dist = np.asarray(calib.get("dist", [0, 0, 0, 0]), np.float64)
-        off = preprocess_sequence(indir, K, dist, H, W, fisheye=FISHEYE)
+        cam = (calibs.from_user_json(args.calib) if args.calib
+               else calibs.RPG_180x240[args.side])
+        imgdir = ("images" if os.path.isdir(os.path.join(indir, "images"))
+                  else None)
+        off = preprocess_with_calib(indir, cam, images_dir=imgdir)
         print(f"{indir}: offset {off} us, rectify map + calib written")
 
 
