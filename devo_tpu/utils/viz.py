@@ -70,8 +70,11 @@ def save_flow_visualization(outdir: str, flow_data: Dict):
         img = rec.get("img")
         if img is None:
             continue
+        img = np.asarray(img)
+        if img.ndim == 3 and img.shape[0] <= 8:   # raw (bins, H, W) voxel
+            img = render_voxel(img)
         coords = np.asarray(rec["coords_est"])[..., 1, 1, :]
-        out = draw_patches(np.asarray(img), coords)
+        out = draw_patches(img, coords)
         try:
             import cv2
             cv2.imwrite(os.path.join(outdir, f"{t:06d}.png"), out[..., ::-1])
@@ -217,6 +220,133 @@ def viz_flow_inference(outdir: str, flow_data, line_scale: float = 4.0):
                                dst) if src is not None
                else draw_patches(img, dst))
         _imwrite(os.path.join(viz_dir, f"{int(fidx):06d}.png"), out)
+
+
+def visualize_pose(*poses, plot_axes: str = "xy", path: Optional[str] = None):
+    """Overlay translation tracks of several pose sets on one plot
+    (viz_utils.py:741-754). Each argument is (N, 7) [t, q] or (N, 3)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ax_ix = {"x": 0, "y": 1, "z": 2}
+    a, b = ax_ix[plot_axes[0]], ax_ix[plot_axes[1]]
+    fig, ax = plt.subplots(figsize=(6, 6))
+    for i, p in enumerate(poses):
+        p = np.asarray(p)
+        ax.plot(p[:, a], p[:, b], lw=0.9, label=f"traj {i}")
+        ax.scatter(p[0, a], p[0, b], marker="o", s=12)
+    ax.set_xlabel(plot_axes[0]); ax.set_ylabel(plot_axes[1])
+    ax.axis("equal"); ax.legend()
+    if path is not None:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return path
+    return fig
+
+
+def plot_flow_train(voxels, traj_step: Dict, outdir: str,
+                    fidx_center: Optional[int] = None, B: int = 2,
+                    scale: float = 4.0):
+    """Training-time flow diagnostic (viz_utils.py:462-577
+    plot_flow_tartan_train, compact headless form): around a center frame,
+    one panel per neighbor within +-B frames showing the estimated (green)
+    vs ground-truth (orange) reprojections of the center frame's patches.
+    `traj_step` is one evonet_forward record ({coords, coords_gt, ii, jj,
+    emask}); `voxels` is the (N, H, W, bins) or (N, bins, H, W) input."""
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(outdir, exist_ok=True)
+    ii = np.asarray(traj_step["ii"])
+    jj = np.asarray(traj_step["jj"])
+    em = np.asarray(traj_step["emask"]).astype(bool)
+    ce = np.asarray(traj_step["coords"])
+    cg = np.asarray(traj_step["coords_gt"])
+    vox = np.asarray(voxels)
+    if vox.ndim == 4 and vox.shape[-1] <= 8:       # (N, H, W, bins)
+        vox = vox.transpose(0, 3, 1, 2)
+    n = vox.shape[0]
+    if fidx_center is None:
+        fidx_center = n // 2
+    nb = [j for j in range(max(0, fidx_center - B),
+                           min(n, fidx_center + B + 1)) if j != fidx_center]
+    fig, axes = plt.subplots(1, max(len(nb), 1), figsize=(4 * len(nb), 4),
+                             squeeze=False)
+    paths = []
+    for ax, j in zip(axes[0], nb):
+        ax.imshow(render_voxel(vox[j]))
+        sel = (ii == fidx_center) & (jj == j) & em
+        if sel.any():
+            c = ce[sel]
+            ctr = (c[..., c.shape[-3] // 2, c.shape[-2] // 2, :]
+                   if c.ndim >= 3 else c).reshape(-1, 2) * scale
+            g = cg[sel]
+            gtr = (g[..., g.shape[-3] // 2, g.shape[-2] // 2, :]
+                   if g.ndim >= 3 else g).reshape(-1, 2) * scale
+            ax.scatter(ctr[:, 0], ctr[:, 1], s=6, c="lime", label="est")
+            ax.scatter(gtr[:, 0], gtr[:, 1], s=6, c="orange", marker="x",
+                       label="gt")
+            ax.plot(np.stack([ctr[:, 0], gtr[:, 0]]),
+                    np.stack([ctr[:, 1], gtr[:, 1]]), c="yellow", lw=0.5)
+        ax.set_title(f"{fidx_center}->{j}")
+        ax.axis("off")
+    p = os.path.join(outdir, f"flow_train_{fidx_center:04d}.png")
+    fig.savefig(p, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    paths.append(p)
+    return paths
+
+
+def plot_patch_following_all(images, patch_data, outdir: str,
+                             num_frame_pairs: int = 3, seed: int = 0):
+    """All-patches variant (viz_utils.py:146-210): same sampling as
+    plot_patch_following but overlays every live patch of the host frame on
+    BOTH frames of the pair in one side-by-side figure."""
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n = len(images)
+    paths = []
+    for k in range(num_frame_pairs):
+        i = int(rng.integers(0, max(n - 1, 1)))
+        j = min(i + 1 + int(rng.integers(0, 3)), n - 1)
+        rec = patch_data.get(j)
+        if rec is None:
+            continue
+        ii = np.asarray(rec["ii"])
+        jj = np.asarray(rec["jj"])
+        coords = np.asarray(rec["coords_est"])
+        sel_h = (ii == i) & (jj == i)
+        sel_t = (ii == i) & (jj == j)
+        host = np.asarray(images[i])
+        targ = np.asarray(images[j])
+        if host.ndim == 3 and host.shape[0] <= 8:
+            host, targ = render_voxel(host), render_voxel(targ)
+        fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+        for ax, img, sel, ttl in [(axes[0], host, sel_h, f"host {i}"),
+                                  (axes[1], targ, sel_t, f"target {j}")]:
+            ax.imshow(img)
+            if sel.any():
+                c = coords[sel]
+                ctr = (c[..., c.shape[-3] // 2, c.shape[-2] // 2, :]
+                       if c.ndim >= 4 else c).reshape(-1, 2) * 4.0
+                ax.scatter(ctr[:, 0], ctr[:, 1], s=8, c="lime")
+            ax.set_title(ttl)
+            ax.axis("off")
+        p = os.path.join(outdir, f"pair_all_{k}.png")
+        fig.savefig(p, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        paths.append(p)
+    return paths
 
 
 def plot_patch_depths(images, patches, outdir: str, P: int = 3):
