@@ -29,6 +29,12 @@ def main():
     from devo_tpu.nets.evonet import EVONet
     from devo_tpu.runtime.config import VOConfig
     from devo_tpu.runtime.engine import DEVO
+    from devo_tpu.utils.timing import enable_compilation_cache
+
+    # cold driver runs pay 10-90 s/bucket remote compiles without this;
+    # with it, executables compiled by ANY previous run on this host load
+    # in O(100 ms) and the warm window measures steady-state tracking
+    enable_compilation_cache()
 
     HT, WD = 480, 640
     # warm through the early-sequence edge-count peak (purging starts at

@@ -56,3 +56,24 @@ def trace(logdir: str):
 
 def summarize() -> Dict[str, float]:
     return {k: sum(v) / max(len(v), 1) for k, v in all_times.items()}
+
+
+def enable_compilation_cache(path: str = None):
+    """Persistent XLA compilation cache across processes.
+
+    Cold CLI runs (the driver's bench, fresh eval trials) otherwise pay the
+    full 10-90 s/bucket remote compile every time; with the cache, any
+    executable compiled once on this host is deserialized in O(100 ms).
+    Safe no-op on jax versions/backends that can't serialize executables.
+    """
+    import os
+
+    path = path or os.environ.get(
+        "DEVO_TPU_CACHE", os.path.expanduser("~/.cache/devo_tpu_xla"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass

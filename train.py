@@ -81,10 +81,19 @@ def main():
                    help="enable randAug voxel augmentation (evs only)")
     p.add_argument("--crop_size", type=int, nargs=2, default=(480, 640),
                    help="augmentor crop (H W)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler device trace of a few "
+                        "steady-state steps (ref train.py:143-152)")
+    p.add_argument("--profile_at", type=int, default=10,
+                   help="steps after start before the trace begins")
+    p.add_argument("--profile_steps", type=int, default=2)
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    from devo_tpu.utils.timing import enable_compilation_cache
+    enable_compilation_cache()
 
     from devo_tpu.data.tartan import TartanAirEVS
     from devo_tpu.nets.evonet import EVONet
@@ -162,7 +171,10 @@ def main():
                 f"{k.split('/')[-2] if k.count('/') > 1 else k}="
                 f"{v:.2f}" for k, v in vm.items()))
 
+    prof_dir = os.path.join("runs", args.name, "profile")
     for step in range(start, args.steps):
+        if args.profile and step - start == args.profile_at:
+            jax.profiler.start_trace(prof_dir)
         batch = {k: jnp.asarray(v) for k, v in next(loader).items()}
         # structure-only warmup for the first 1k steps (train.py:160)
         structure_only = step < 1000 and args.checkpoint is None
@@ -170,6 +182,10 @@ def main():
         params, opt_state, metrics = step_fn(params, opt_state, batch, sub,
                                              step, structure_only)
         logger.push({k: float(v) for k, v in metrics.items()})
+        if args.profile and step - start == args.profile_at + args.profile_steps:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            print(f"profile trace written to {prof_dir}")
 
         if (step + 1) % args.ckpt_every == 0:
             path = os.path.abspath(
