@@ -107,6 +107,26 @@ class VOConfig:
     def replace(self, **kw) -> "VOConfig":
         return dataclasses.replace(self, **kw)
 
+    @classmethod
+    def from_yaml(cls, path: str, base: "VOConfig" = None) -> "VOConfig":
+        """Load a reference-format yaml override file (the user-facing
+        `--config config/eval_eds.yaml` surface; cf. the yacs merge at
+        /root/reference/evals/eval_evs/eval_eds_evs.py:85). Unknown keys
+        are rejected so typos don't silently fall back to defaults."""
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        fields = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(raw) - fields
+        if unknown:
+            raise ValueError(f"{path}: unknown config keys {sorted(unknown)}")
+        # EDGE_CAP=0 re-derives the bound when sizing knobs change
+        base = base if base is not None else cls()
+        if not raw:
+            return base
+        return dataclasses.replace(base, **{"EDGE_CAP": 0, **raw})
+
 
 # per-benchmark overrides mirroring /root/reference/config/eval_*.yaml.
 # Eval configs use the LOSSLESS f16 voxel wire: ATE parity claims must not

@@ -32,6 +32,10 @@ def load_params(weights: str):
 
 def evaluate_benchmark(benchmark: str, args) -> dict:
     cfg = EVAL_CONFIGS.get(benchmark, EVAL_CONFIGS["default"])
+    if getattr(args, "config", None):
+        # reference-format yaml override (eval_eds_evs.py:85 yacs merge)
+        from devo_tpu.runtime.config import VOConfig
+        cfg = VOConfig.from_yaml(args.config, base=cfg)
     if args.config_overrides:
         cfg = cfg.replace(**json.loads(args.config_overrides))
     params = load_params(args.weights)
@@ -133,6 +137,9 @@ def make_parser(benchmark: str) -> argparse.ArgumentParser:
     p.add_argument("--trials", type=int, default=5)
     p.add_argument("--stride", type=int, default=1)
     p.add_argument("--outdir", type=str, default="results")
+    p.add_argument("--config", type=str, default=None,
+                   help="yaml config file (config/eval_*.yaml), applied on "
+                        "top of the benchmark's built-in EVAL_CONFIGS entry")
     p.add_argument("--config_overrides", type=str, default=None,
                    help='JSON dict of VOConfig overrides')
     return p

@@ -183,3 +183,33 @@ def test_preprocess_with_calib_sidecars(tmp_path):
     assert np.loadtxt(seq / "images_timestamps_us.txt")[0] == 0
     fx, fy, cx, cy = np.loadtxt(seq / "calib_undist_calib0.txt")
     assert 0 < cx < 640 and 0 < cy < 480 and fx > 0 and fy > 0
+
+
+def test_voconfig_from_yaml(tmp_path):
+    """Reference-format yaml overrides (config/eval_*.yaml surface)."""
+    from devo_tpu.runtime.config import EVAL_CONFIGS, VOConfig
+
+    # the shipped files load and match the built-in EVAL_CONFIGS thresholds
+    import glob
+    root = os.path.join(os.path.dirname(__file__), "..", "config")
+    shipped = sorted(glob.glob(os.path.join(root, "eval_*.yaml")))
+    assert len(shipped) >= 8
+    for path in shipped:
+        name = os.path.basename(path)[5:-5]
+        cfg = VOConfig.from_yaml(path)
+        assert cfg.KEYFRAME_THRESH == EVAL_CONFIGS[name].KEYFRAME_THRESH, name
+        assert cfg.PATCHES_PER_FRAME == 96
+
+    # sizing-knob overrides re-derive EDGE_CAP
+    p = tmp_path / "c.yaml"
+    p.write_text("PATCH_LIFETIME: 7\nKEYFRAME_THRESH: 33.0\n")
+    cfg = VOConfig.from_yaml(str(p))
+    assert cfg.KEYFRAME_THRESH == 33.0
+    assert cfg.EDGE_CAP == VOConfig(PATCH_LIFETIME=7).EDGE_CAP \
+        and cfg.EDGE_CAP < VOConfig().EDGE_CAP
+
+    # unknown keys are rejected, not silently ignored
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("KEYFRAME_TRESH: 1.0\n")
+    with pytest.raises(ValueError, match="unknown config keys"):
+        VOConfig.from_yaml(str(bad))
