@@ -47,6 +47,8 @@ def validate_tartan_evs(
     max_frames: Optional[int] = None,
     figures_dir: Optional[str] = None,
     step: int = 0,
+    ht: int = 480, wd: int = 640,
+    intrinsics: Optional[np.ndarray] = None,
 ) -> Dict[str, float]:
     """Run VO on each val scene; returns {"val/<scene>/ate": cm, ...,
     "val/ate_mean": cm}. `val_scenes` are evs_left dirs of voxel h5 files."""
@@ -63,15 +65,17 @@ def validate_tartan_evs(
         vdir = osp.join(scene, "h5") if osp.isdir(osp.join(scene, "h5")) \
             else scene
 
+        intr = TARTAN_INTRINSICS if intrinsics is None else intrinsics
+
         def it():
-            gen = voxel_h5_iterator(vdir, TARTAN_INTRINSICS, tss_us=tss * 1e6)
+            gen = voxel_h5_iterator(vdir, intr, tss_us=tss * 1e6)
             for i, item in enumerate(gen):
                 if max_frames is not None and i >= max_frames:
                     break
                 yield item
 
         try:
-            poses, tss_est, _fps = run_voxel(cfg, params, it(), 480, 640,
+            poses, tss_est, _fps = run_voxel(cfg, params, it(), ht, wd,
                                              engine_cache=engine_cache)
         except RuntimeError:
             continue

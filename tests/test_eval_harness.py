@@ -1,0 +1,120 @@
+"""Eval-harness + in-training-validation integration tests.
+
+Drives the REAL engine through the evaluation stack the way the CLIs and
+the trainer do (/root/reference/utils/eval_utils.py run_voxel/log_results,
+train.py:282-294 in-training eval): multi-trial evaluate_sequence with
+engine reuse and TUM/JSON artifacts, and validate_tartan_evs over a
+synthetic TartanAir-EVS tree.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from devo_tpu.eval.harness import evaluate_sequence
+from devo_tpu.nets.evonet import EVONet
+from devo_tpu.runtime.config import VOConfig
+
+HT, WD = 64, 96
+INTR = np.asarray([60.0, 60.0, WD / 2, HT / 2], np.float32)
+
+CFG = VOConfig(
+    BUFFER_SIZE=64, PATCHES_PER_FRAME=16, REMOVAL_WINDOW=8,
+    OPTIMIZATION_WINDOW=6, PATCH_LIFETIME=5, KEYFRAME_INDEX=2,
+    KEYFRAME_THRESH=1e-3, MOTION_PROBE_THRESH=-1.0, MEM=16,
+    MIXED_PRECISION=False, DIM_INET=64, DIM_FNET=32, DIM=8,
+    HT=HT, WD=WD)
+
+N_FRAMES = 12
+
+
+def _params():
+    net = EVONet(P=CFG.P, dim_inet=CFG.DIM_INET, dim_fnet=CFG.DIM_FNET,
+                 dim=CFG.DIM, patch_selector=CFG.PATCH_SELECTOR)
+    return net.init(jax.random.PRNGKey(0), jnp.zeros((1, HT, WD, 5)),
+                    jax.random.PRNGKey(1))["params"]
+
+
+def _voxels(n=N_FRAMES, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((5, HT, WD * 2)).astype(np.float32)
+    base *= (rng.random((5, HT, WD * 2)) < 0.2)
+    return [base[:, :, 2 * i:2 * i + WD] for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def shared():
+    """One compiled engine serves every test in this module (the harness's
+    engine_cache contract, eval/harness.py:40-46)."""
+    return {"params": _params(), "engine_cache": {}}
+
+
+def test_evaluate_sequence_artifacts(tmp_path, shared):
+    vox = _voxels()
+    gt = np.zeros((N_FRAMES, 7), np.float32)
+    gt[:, 0] = 0.05 * np.arange(N_FRAMES)   # forward track
+    gt[:, 6] = 1.0
+    tss = np.arange(N_FRAMES, dtype=np.float64)
+
+    def make_iterator():
+        return iter([(v, INTR, float(t)) for v, t in zip(vox, tss)])
+
+    med, results, fps = evaluate_sequence(
+        CFG, shared["params"], make_iterator,
+        traj_gt=gt, tss_gt=tss, trials=2, ht=HT, wd=WD,
+        max_diff_s=0.5, outdir=str(tmp_path), name="synt",
+        engine_cache=shared["engine_cache"])
+
+    assert len(results) == 2 and len(fps) == 2
+    assert np.isfinite(med.ate) and np.isfinite(med.mpe) \
+        and np.isfinite(med.r_rmse)
+    # one engine for both trials
+    assert len(shared["engine_cache"]) == 1
+    # per-trial TUM dumps: (N, 8) rows, monotonically increasing stamps
+    for trial in range(2):
+        dump = np.loadtxt(tmp_path / f"synt_trial{trial}.txt")
+        assert dump.shape[1] == 8 and len(dump) == N_FRAMES
+        assert (np.diff(dump[:, 0]) > 0).all()
+    blob = json.loads((tmp_path / "synt_results.json").read_text())
+    assert {"median", "trials", "fps"} <= set(blob)
+    assert blob["median"]["ate"] == pytest.approx(med.ate)
+
+
+def test_validate_tartan_evs(tmp_path, shared):
+    """In-training validation runs the engine over a synthetic TartanAir-EVS
+    tree and returns logger scalars + trajectory figures
+    (ref train.py:282-294, devo/logger.py:55-60)."""
+    import h5py
+
+    from devo_tpu.train.validate import validate_tartan_evs
+
+    scene = tmp_path / "Env" / "Easy" / "evs_left" / "P001"
+    (scene / "h5").mkdir(parents=True)
+    img = tmp_path / "Env" / "Easy" / "image_left" / "P001"
+    img.mkdir(parents=True)
+    vox = _voxels(N_FRAMES + 0, seed=1)
+    for i, v in enumerate(vox):
+        with h5py.File(scene / "h5" / f"{i:06d}.h5", "w") as f:
+            f.create_dataset("voxel", data=v.astype(np.float16))
+    poses = np.zeros((N_FRAMES + 1, 7))
+    poses[:, 0] = 0.05 * np.arange(N_FRAMES + 1)
+    poses[:, 6] = 1.0
+    np.savetxt(img / "pose_left.txt", poses, delimiter=" ")
+
+    figs = tmp_path / "figs"
+    m = validate_tartan_evs(
+        shared["params"], [str(scene)], cfg=CFG,
+        engine_cache=shared["engine_cache"], max_frames=N_FRAMES,
+        figures_dir=str(figs), step=7, ht=HT, wd=WD, intrinsics=INTR)
+
+    assert "val/ate_mean" in m and np.isfinite(m["val/ate_mean"])
+    scene_keys = [k for k in m if k.endswith("/ate") and k != "val/ate_mean"]
+    assert len(scene_keys) == 1
+    pngs = list(figs.glob("*step7.png"))
+    assert len(pngs) == 1
+    # engine was reused, not rebuilt (same (H, W) key)
+    assert len(shared["engine_cache"]) == 1
