@@ -1,11 +1,13 @@
 """Undistort E2VID reconstruction PNGs for the e2v evaluation family.
 
-Counterpart of /root/reference/scripts/e2v/undist_*.py (one script per
-benchmark there; one parameterized CLI here). EDS ships the reference's
-hard-coded distorted event-camera calibrations (undist_eds.py:30-44);
-other benchmarks pass --calib as "fx fy cx cy k1 k2 p1 p2" or a json file
-with K/dist fields. Output goes to <indir>/../e2calib_undistorted with the
-reference's 21-digit frame naming.
+Counterpart of /root/reference/scripts/e2v/undist_{eds,fpv,hku,mvsec,rpg,
+tumvie,vector}.py (one script per benchmark there; one parameterized CLI
+here). Per-benchmark calibrations come from devo_tpu.data.calibs: built-in
+published constants (EDS calib0/calib1, HKU/RPG per side) or the dataset's
+shipped calibration files (--calib-file for MVSEC camchain / TUM-VIE JSON /
+FPV camchain / VECtor yaml); a manual --calib override is always accepted.
+Output goes to <indir>/../e2calib_undistorted with the reference's 21-digit
+frame naming.
 """
 from __future__ import annotations
 
@@ -14,67 +16,86 @@ import glob
 import json
 import os
 import os.path as osp
+import sys
 
 import numpy as np
 
-# distorted event-camera calibration per EDS calib set (undist_eds.py:30-44)
-EDS_CALIBS = {
-    "calib0": ([560.8520948927032, 560.6295819972383,
-                313.00733235019237, 217.32858679842997],
-               [-0.09776467241921379, 0.2143738428636279,
-                -0.004710710105172864, -0.004215916089401789]),
-    "calib1": ([548.8989250692618, 550.0282089284915,
-                313.5293514832678, 219.6325753720951],
-               [-0.08095806072593555, 0.15743578875760092,
-                -0.0035154416164982195, -0.003950567808338846]),
-}
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+from devo_tpu.data import calibs
 
 
-def undistort_dir(indir: str, K4, dist, H: int, W: int):
+def undistort_dir(indir: str, cam, H: int = None, W: int = None):
     import cv2
 
-    K = np.array([[K4[0], 0, K4[2]], [0, K4[1], K4[3]], [0, 0, 1.0]])
-    dist = np.asarray(dist, np.float64)
-    K_new, _roi = cv2.getOptimalNewCameraMatrix(
-        K, dist, (W, H), alpha=0, newImgSize=(W, H))
+    from devo_tpu.data.preprocess import new_camera_matrix
+
+    if (H is None or W is None) and cam.size != (0, 0):
+        H, W = cam.size
+    K, dist = cam.K, cam.dist_np
+    K_new = new_camera_matrix(K, dist, H, W, cam.model, cam.policy)
     outdir = osp.join(osp.dirname(indir.rstrip("/")), "e2calib_undistorted")
     os.makedirs(outdir, exist_ok=True)
     assert osp.abspath(outdir) != osp.abspath(indir)
     files = sorted(glob.glob(osp.join(indir, "*.png")))
+    if cam.model == "fisheye":
+        mx, my = cv2.fisheye.initUndistortRectifyMap(
+            K, dist[:4], np.eye(3), K_new, (W, H), cv2.CV_32FC1)
+    else:
+        mx, my = cv2.initUndistortRectifyMap(
+            K, dist, np.eye(3), K_new, (W, H), cv2.CV_32FC1)
     for i, fn in enumerate(files):
-        img = cv2.imread(fn)
-        und = cv2.undistort(img, K, dist, newCameraMatrix=K_new)
+        und = cv2.remap(cv2.imread(fn), mx, my, cv2.INTER_CUBIC)
         cv2.imwrite(osp.join(outdir, f"{i:021d}.png"), und)
     print(f"undistorted {len(files)} images -> {outdir} "
           f"(K_new fx={K_new[0, 0]:.2f} cx={K_new[0, 2]:.2f})")
     return outdir, K_new
 
 
-def parse_calib(spec: str):
-    if spec.endswith(".json"):
-        with open(spec) as f:
-            c = json.load(f)
-        return c["K"], c.get("dist", c.get("dist_coeffs", [0, 0, 0, 0]))
-    vals = [float(v) for v in spec.replace(",", " ").split()]
-    return vals[:4], vals[4:]
+def resolve_calib(a) -> "calibs.CamCalib":
+    if a.calib:  # manual override: "fx fy cx cy k1 k2 ..." or a json file
+        if a.calib.endswith(".json"):
+            return calibs.from_user_json(a.calib)
+        v = [float(x) for x in a.calib.replace(",", " ").split()]
+        return calibs.CamCalib(v[0], v[1], v[2], v[3], tuple(v[4:]),
+                               size=tuple(a.res))
+    b = a.benchmark
+    if b == "eds":
+        return calibs.EDS[(a.calibstr, "evs")]
+    if b == "hku":
+        return calibs.HKU[a.side]
+    if b == "rpg":
+        return calibs.RPG_180x240[a.side]
+    if not a.calib_file:
+        raise SystemExit(f"{b}: pass --calib-file (dataset calibration) "
+                         "or --calib")
+    if b == "mvsec":
+        return calibs.read_mvsec_camchain(a.calib_file, a.side)
+    if b == "tumvie":
+        return calibs.read_tumvie_calib(a.calib_file,
+                                        2 if a.side == "left" else 3)
+    if b == "fpv":
+        return calibs.read_fpv_calib(a.calib_file)
+    if b == "vector":
+        return calibs.read_vector_calib(a.calib_file)
+    raise SystemExit(f"unknown benchmark {b}")
 
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser(description="undistort e2vid reconstructions")
-    p.add_argument("--indir", required=True,
-                   help="dir of e2vid/e2calib PNGs")
-    p.add_argument("--benchmark", default="eds")
+    p.add_argument("--indir", required=True, help="dir of e2vid/e2calib PNGs")
+    p.add_argument("--benchmark", default="eds",
+                   choices=["eds", "fpv", "hku", "mvsec", "rpg", "tumvie",
+                            "vector"])
     p.add_argument("--calibstr", default="calib0",
                    help="EDS calibration set (calib0/calib1)")
+    p.add_argument("--side", default="left", choices=["left", "right"])
+    p.add_argument("--calib-file", default=None,
+                   help="dataset-shipped calibration file (camchain yaml / "
+                        "TUM-VIE json / VECtor yaml)")
     p.add_argument("--calib", default=None,
-                   help='non-EDS: "fx fy cx cy k1 k2 p1 p2" or a json file')
+                   help='manual override: "fx fy cx cy k1 k2 ..." or json')
     p.add_argument("--res", type=int, nargs=2, default=(480, 640),
-                   help="H W of the event camera")
+                   help="H W fallback when the calibration has no size")
     a = p.parse_args()
     assert "e2vid" in a.indir or "e2calib" in a.indir
-    if a.benchmark == "eds":
-        K4, dist = EDS_CALIBS[a.calibstr]
-    else:
-        assert a.calib, "--calib required for non-EDS benchmarks"
-        K4, dist = parse_calib(a.calib)
-    undistort_dir(a.indir, K4, dist, a.res[0], a.res[1])
+    undistort_dir(a.indir, resolve_calib(a), a.res[0], a.res[1])
