@@ -22,6 +22,15 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# persistent compilation cache: the heavy suite graphs (8-dev train step,
+# engine buckets) are byte-identical across tests and suite runs; without
+# this every Trainer/DEVO instance recompiles them (10+ min apiece)
+_cache = os.path.expanduser("~/.cache/devo_tpu_xla_tests")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 def pytest_configure(config):
     assert jax.default_backend() == "cpu", (
