@@ -158,3 +158,24 @@ def test_rebucket_overflow_degrades_gracefully():
     assert (jj < n).all() and (ii < n).all()
     poses, _ = slam.terminate()
     assert np.isfinite(poses).all()
+
+
+def test_banded_ring_shape_guard(monkeypatch):
+    """The banded corr path derives row addressing from cfg.HT/WD; a state
+    built at a different resolution must be rejected at trace time instead
+    of silently computing garbage correlations (engine._edge_features).
+    Exercised on CPU by faking the backend probe — the guard fires before
+    any Mosaic call."""
+    from devo_tpu.runtime import engine as eng
+
+    cfg = TEST_CFG.replace(CORR_IMPL="banded", HT=HT, WD=WD)
+    monkeypatch.setattr(eng, "_use_banded", lambda c: True)
+    st = eng.init_state(cfg, HT, WD, seed=0, edge_cap=64)
+    assert st.fmap1b.shape[0] == cfg.MEM  # banded rings allocated
+
+    monkeypatch.setattr(eng.jax, "default_backend", lambda: "tpu")
+    E = 8
+    ii = jnp.zeros((E,), jnp.int32)
+    bad = cfg.replace(HT=2 * HT, WD=2 * WD)
+    with pytest.raises(ValueError, match="does not match cfg.HT/WD"):
+        eng._edge_features(bad, st, ii, ii, ii)
