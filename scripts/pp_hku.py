@@ -37,7 +37,9 @@ def main():
             events_file=f"evs_{args.side}.h5"
             if os.path.exists(os.path.join(indir, f"evs_{args.side}.h5"))
             else "events.h5",
-            gt_file=f"gt_stamped_{args.side}.txt",
+            # gt_stamped_* stamps are ALREADY microseconds (the reference
+            # writes them as tss_gt_us, pp_hku.py:122-135) — no unit scaling
+            gt_file=f"gt_stamped_{args.side}.txt", gt_tss_unit=1.0,
             imgs_ts_file=f"tss_imgs_us_{args.side}.txt",
             images_dir=imgdir)
         print(f"{indir}: offset {off} us, rectify map + calib written")
