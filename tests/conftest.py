@@ -32,6 +32,21 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jit_caches_between_modules():
+    """The full suite accumulates dozens of large compiled executables in
+    one process; late tests then segfault INSIDE XLA:CPU (seen both in
+    backend_compile_and_load and in compilation-cache deserialization,
+    always in the last test module). Dropping the in-memory jit caches
+    between modules bounds that state; the disk cache keeps re-loads
+    cheap."""
+    yield
+    jax.clear_caches()
+
+
 def pytest_configure(config):
     assert jax.default_backend() == "cpu", (
         "tests must run on CPU; jax backend was already instantiated as "
