@@ -118,3 +118,51 @@ def test_validate_tartan_evs(tmp_path, shared):
     assert len(pngs) == 1
     # engine was reused, not rebuilt (same (H, W) key)
     assert len(shared["engine_cache"]) == 1
+
+
+def test_eds_iterator_through_engine(tmp_path, shared):
+    """Full benchmark pipeline on a synthetic EDS-format sequence: raw
+    events.h5 + rectify map + image stamps -> eds_evs_iterator (EventSlicer
+    windows, voxelization, hot-pixel filter, resize) -> tracking engine ->
+    Sim3 ATE. This is the exact chain evals/eval_eds_evs.py runs
+    (/root/reference/evals/eval_evs/eval_eds_evs.py:36-38)."""
+    import h5py
+
+    from devo_tpu.data import benchmarks as bm
+    from devo_tpu.data.event_utils import compute_ms_to_idx
+
+    d = str(tmp_path)
+    n_imgs, dt_us = N_FRAMES + 2, 33_000
+    rng = np.random.default_rng(3)
+    n_ev = 120_000
+    t = np.sort(rng.integers(0, n_imgs * dt_us + 20_000, n_ev))
+    with h5py.File(tmp_path / "events.h5", "w") as f:
+        f.create_dataset("events/t", data=t.astype(np.int64))
+        f.create_dataset("events/x", data=rng.integers(0, 640, n_ev).astype(np.uint16))
+        f.create_dataset("events/y", data=rng.integers(0, 480, n_ev).astype(np.uint16))
+        f.create_dataset("events/p", data=(rng.integers(0, 2, n_ev) * 2 - 1).astype(np.int8))
+        f.create_dataset("ms_to_idx", data=compute_ms_to_idx(t))
+    gx, gy = np.meshgrid(np.arange(640, dtype=np.float32),
+                         np.arange(480, dtype=np.float32))
+    with h5py.File(tmp_path / "rectify_map_calib0.h5", "w") as f:
+        f.create_dataset("rectify_map", data=np.stack([gx, gy], -1))
+    tss_us = np.arange(n_imgs, dtype=np.float64) * dt_us + 4_000
+    np.savetxt(tmp_path / "images_timestamps_us.txt", tss_us)
+
+    gt = np.zeros((n_imgs, 7), np.float32)
+    gt[:, 0] = 0.03 * np.arange(n_imgs)
+    gt[:, 6] = 1.0
+
+    med, results, fps = evaluate_sequence(
+        CFG, shared["params"],
+        make_iterator=lambda: bm.eds_evs_iterator(d, H=HT, W=WD),
+        traj_gt=gt, tss_gt=tss_us / 1e6, trials=1, ht=HT, wd=WD,
+        max_diff_s=0.5, outdir=str(tmp_path / "out"), name="eds_synt",
+        engine_cache=shared["engine_cache"])
+    assert np.isfinite(med.ate)
+    assert len(shared["engine_cache"]) == 1   # reused the module's engine
+    dump = np.loadtxt(tmp_path / "out" / "eds_synt_trial0.txt")
+    # iterator drops the last image stamp (window needs a right edge)
+    assert len(dump) >= n_imgs - 2
+    # engine timestamps are the EDS image stamps in seconds
+    np.testing.assert_allclose(dump[0, 0], tss_us[0] / 1e6, rtol=1e-6)
