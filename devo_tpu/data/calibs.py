@@ -215,9 +215,12 @@ def read_vector_calib(calib_yaml: str,
                     model="radtan", policy="optimal0", size=size)
 
 
-def from_user_json(path: str) -> CamCalib:
+def from_user_json(path: str,
+                   default_size: Tuple[int, int] = (0, 0)) -> CamCalib:
     """{"K": 3x3 (or [fx,fy,cx,cy]), "dist": [...], "model": ..., "policy":
-    ...} override, the escape hatch the pp CLIs always accept."""
+    ..., "size": [H, W]} override, the escape hatch the pp CLIs always
+    accept. `default_size` fills in the benchmark's known resolution when
+    the JSON has no "size" (the common {K, dist}-only file)."""
     with open(path) as f:
         c = json.load(f)
     K = np.asarray(c["K"], np.float64)
@@ -226,7 +229,7 @@ def from_user_json(path: str) -> CamCalib:
         fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     else:
         fx, fy, cx, cy = K.reshape(-1)[:4]
-    size = tuple(c.get("size", (0, 0)))
+    size = tuple(c.get("size", default_size))
     return CamCalib(fx, fy, cx, cy, tuple(c.get("dist", (0, 0, 0, 0))),
                     model=c.get("model", "radtan"),
                     policy=c.get("policy", "optimal0"), size=size)

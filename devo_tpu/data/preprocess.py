@@ -76,7 +76,8 @@ def new_camera_matrix(K: np.ndarray, dist: np.ndarray, H: int, W: int,
 
 def undistort_images(img_paths, outdir: str, K: np.ndarray, dist: np.ndarray,
                      K_new: np.ndarray, H: int, W: int,
-                     model: str = "radtan") -> int:
+                     model: str = "radtan",
+                     name_fmt: str = "{i:06d}.png") -> int:
     """Remap raw frames onto the undistorted pinhole camera and write
     `{i:06d}.png` files (pp_eds.py:107-120, pp_hku.py:92-99,
     pp_mvsec.py:104-116 — all use INTER_CUBIC remap, which is sharper than
@@ -95,7 +96,7 @@ def undistort_images(img_paths, outdir: str, K: np.ndarray, dist: np.ndarray,
         if isinstance(img, (str, os.PathLike)):
             img = cv2.imread(str(img), cv2.IMREAD_UNCHANGED)
         und = cv2.remap(np.asarray(img), mx, my, cv2.INTER_CUBIC)
-        cv2.imwrite(os.path.join(outdir, f"{i:06d}.png"), und)
+        cv2.imwrite(os.path.join(outdir, name_fmt.format(i=i)), und)
         n += 1
     return n
 
@@ -180,7 +181,13 @@ def preprocess_with_calib(
     imgs_ts_file: Optional[str] = "images_timestamps.txt",
     images_dir: Optional[str] = None,
     img_calib=None,             # separate frame camera (EDS rgb); None =
-                                # same sensor as the events (DAVIS)
+                                # same sensor as the events (DAVIS ONLY —
+                                # callers with a distinct frame camera must
+                                # pass it or skip images_dir)
+    normalize_times: bool = True,  # False for datasets whose loaders read
+                                # dataset-native stamps (HKU/MVSEC/VECtor
+                                # extraction trees) — shifting only the
+                                # sidecar GT would desync the time bases
 ):
     """Benchmark-faithful per-sequence preprocessing: time-offset
     normalization, event rectify map under the dataset's published event
@@ -189,9 +196,13 @@ def preprocess_with_calib(
     (rectify_map{suffix}.h5, calib_undist{suffix}.txt,
     images_undistorted{suffix}/)."""
     H, W = calib.size
+    if H <= 0 or W <= 0:
+        raise ValueError(
+            "calibration has no resolution — pass a CamCalib with size set "
+            "(user-JSON overrides: add \"size\": [H, W])")
     evpath = os.path.join(indir, events_file)
     offset = 0
-    if os.path.exists(evpath):
+    if normalize_times and os.path.exists(evpath):
         with h5py.File(evpath, "r") as f:
             t = np.asarray(f["events/t"] if "events" in f else f["t"])
         gt = None

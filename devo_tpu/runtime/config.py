@@ -121,11 +121,16 @@ class VOConfig:
         unknown = set(raw) - fields
         if unknown:
             raise ValueError(f"{path}: unknown config keys {sorted(unknown)}")
-        # EDGE_CAP=0 re-derives the bound when sizing knobs change
         base = base if base is not None else cls()
         if not raw:
             return base
-        return dataclasses.replace(base, **{"EDGE_CAP": 0, **raw})
+        # re-derive EDGE_CAP only when a sizing knob actually changes —
+        # an explicitly pinned base EDGE_CAP must survive unrelated
+        # overrides (it keys compiled executables)
+        sizing = {"PATCHES_PER_FRAME", "REMOVAL_WINDOW", "PATCH_LIFETIME"}
+        if sizing & set(raw):
+            raw = {"EDGE_CAP": 0, **raw}
+        return dataclasses.replace(base, **raw)
 
 
 # per-benchmark overrides mirroring /root/reference/config/eval_*.yaml.

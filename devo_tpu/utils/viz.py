@@ -274,7 +274,8 @@ def plot_flow_train(voxels, traj_step: Dict, outdir: str,
         fidx_center = n // 2
     nb = [j for j in range(max(0, fidx_center - B),
                            min(n, fidx_center + B + 1)) if j != fidx_center]
-    fig, axes = plt.subplots(1, max(len(nb), 1), figsize=(4 * len(nb), 4),
+    fig, axes = plt.subplots(1, max(len(nb), 1),
+                             figsize=(4 * max(len(nb), 1), 4),
                              squeeze=False)
     paths = []
     for ax, j in zip(axes[0], nb):

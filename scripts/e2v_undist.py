@@ -13,40 +13,31 @@ from __future__ import annotations
 
 import argparse
 import glob
-import json
-import os
 import os.path as osp
 import sys
-
-import numpy as np
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 from devo_tpu.data import calibs
 
 
 def undistort_dir(indir: str, cam, H: int = None, W: int = None):
-    import cv2
+    from devo_tpu.data.preprocess import new_camera_matrix, undistort_images
 
-    from devo_tpu.data.preprocess import new_camera_matrix
-
-    if (H is None or W is None) and cam.size != (0, 0):
+    # the calibration's own resolution wins; --res is only a fallback for
+    # size-less manual overrides (the reference asserts the image matches
+    # the calibration's size)
+    if cam.size != (0, 0):
         H, W = cam.size
-    K, dist = cam.K, cam.dist_np
-    K_new = new_camera_matrix(K, dist, H, W, cam.model, cam.policy)
+    if not H or not W:
+        raise SystemExit("no resolution: calibration has no size and no "
+                         "--res given")
+    K_new = new_camera_matrix(cam.K, cam.dist_np, H, W, cam.model, cam.policy)
     outdir = osp.join(osp.dirname(indir.rstrip("/")), "e2calib_undistorted")
-    os.makedirs(outdir, exist_ok=True)
     assert osp.abspath(outdir) != osp.abspath(indir)
     files = sorted(glob.glob(osp.join(indir, "*.png")))
-    if cam.model == "fisheye":
-        mx, my = cv2.fisheye.initUndistortRectifyMap(
-            K, dist[:4], np.eye(3), K_new, (W, H), cv2.CV_32FC1)
-    else:
-        mx, my = cv2.initUndistortRectifyMap(
-            K, dist, np.eye(3), K_new, (W, H), cv2.CV_32FC1)
-    for i, fn in enumerate(files):
-        und = cv2.remap(cv2.imread(fn), mx, my, cv2.INTER_CUBIC)
-        cv2.imwrite(osp.join(outdir, f"{i:021d}.png"), und)
-    print(f"undistorted {len(files)} images -> {outdir} "
+    n = undistort_images(files, outdir, cam.K, cam.dist_np, K_new, H, W,
+                         cam.model, name_fmt="{i:021d}.png")
+    print(f"undistorted {n} images -> {outdir} "
           f"(K_new fx={K_new[0, 0]:.2f} cx={K_new[0, 2]:.2f})")
     return outdir, K_new
 
@@ -56,8 +47,9 @@ def resolve_calib(a) -> "calibs.CamCalib":
         if a.calib.endswith(".json"):
             return calibs.from_user_json(a.calib)
         v = [float(x) for x in a.calib.replace(",", " ").split()]
+        size = tuple(a.res) if a.res[0] and a.res[1] else (0, 0)
         return calibs.CamCalib(v[0], v[1], v[2], v[3], tuple(v[4:]),
-                               size=tuple(a.res))
+                               size=size)
     b = a.benchmark
     if b == "eds":
         return calibs.EDS[(a.calibstr, "evs")]
@@ -71,8 +63,12 @@ def resolve_calib(a) -> "calibs.CamCalib":
     if b == "mvsec":
         return calibs.read_mvsec_camchain(a.calib_file, a.side)
     if b == "tumvie":
+        # E2VID reconstructions live on the event camera's pixel grid, but
+        # the reference undistorts them with the balance=0 pinhole target
+        # (scripts/e2v/undist_tumvie.py) — for_images picks that policy
         return calibs.read_tumvie_calib(a.calib_file,
-                                        2 if a.side == "left" else 3)
+                                        2 if a.side == "left" else 3,
+                                        for_images=True)
     if b == "fpv":
         return calibs.read_fpv_calib(a.calib_file)
     if b == "vector":
@@ -94,7 +90,7 @@ if __name__ == "__main__":
                         "TUM-VIE json / VECtor yaml)")
     p.add_argument("--calib", default=None,
                    help='manual override: "fx fy cx cy k1 k2 ..." or json')
-    p.add_argument("--res", type=int, nargs=2, default=(480, 640),
+    p.add_argument("--res", type=int, nargs=2, default=(None, None),
                    help="H W fallback when the calibration has no size")
     a = p.parse_args()
     assert "e2vid" in a.indir or "e2calib" in a.indir

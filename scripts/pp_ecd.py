@@ -23,7 +23,7 @@ def main():
     p.add_argument("--calib", default=None, help="JSON override")
     args = p.parse_args()
     for indir in args.indir:
-        cam = (calibs.from_user_json(args.calib) if args.calib
+        cam = (calibs.from_user_json(args.calib, default_size=(180, 240)) if args.calib
                else calibs.read_ecd_calib(os.path.join(indir, "calib.txt")))
         # images.txt: "t filename" rows; the reference dumps tss_us.txt
         # (pp_ecd.py:35-39)

@@ -27,7 +27,7 @@ def main():
                    help="skip RGB undistortion (events-only sequences)")
     args = p.parse_args()
     for indir in args.indir:
-        evs = (calibs.from_user_json(args.calib) if args.calib
+        evs = (calibs.from_user_json(args.calib, default_size=(480, 640)) if args.calib
                else calibs.EDS[(args.calibstr, "evs")])
         rgb = calibs.EDS[(args.calibstr, "rgb")]
         imgdir = "images" if (not args.no_images

@@ -26,7 +26,7 @@ def main():
     args = p.parse_args()
     for indir in args.indir:
         if args.calib:
-            cam = calibs.from_user_json(args.calib)
+            cam = calibs.from_user_json(args.calib, default_size=(260, 346))
         else:
             cy = args.calib_yaml or next(
                 iter(glob.glob(os.path.join(indir, "*camchain*.yaml"))), None)

@@ -28,7 +28,7 @@ def main():
     p.add_argument("--calib", default=None, help="JSON override")
     args = p.parse_args()
     for indir in args.indir:
-        cam = (calibs.from_user_json(args.calib) if args.calib
+        cam = (calibs.from_user_json(args.calib, default_size=(260, 346)) if args.calib
                else calibs.HKU[args.side])
         imgdir = "images" if os.path.isdir(os.path.join(indir, "images")) \
             else None
@@ -41,7 +41,11 @@ def main():
             # writes them as tss_gt_us, pp_hku.py:122-135) — no unit scaling
             gt_file=f"gt_stamped_{args.side}.txt", gt_tss_unit=1.0,
             imgs_ts_file=f"tss_imgs_us_{args.side}.txt",
-            images_dir=imgdir)
+            images_dir=imgdir,
+            # HKU trees carry extraction-time stamps that the
+            # loader reads natively; shifting only the sidecar
+            # GT would desync the time bases
+            normalize_times=False)
         print(f"{indir}: offset {off} us, rectify map + calib written")
 
 

@@ -28,7 +28,7 @@ def main():
     args = p.parse_args()
     for indir in args.indir:
         if args.calib:
-            cam = calibs.from_user_json(args.calib)
+            cam = calibs.from_user_json(args.calib, default_size=(260, 346))
         else:
             chain = args.camchain or os.path.join(
                 indir, "../indoor_flying_calib/"
@@ -39,7 +39,10 @@ def main():
         off = preprocess_with_calib(
             indir, cam, suffix=f"_{args.side}",
             imgs_ts_file=f"tss_imgs_us_{args.side}.txt",
-            images_dir=imgdir)
+            images_dir=imgdir,
+            # the MVSEC loader reads stamps from the dataset
+            # hdf5 directly — do not shift sidecars
+            normalize_times=False)
         print(f"{indir}: offset {off} us, rectify map + calib written")
 
 

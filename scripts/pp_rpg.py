@@ -23,7 +23,7 @@ def main():
                    help="JSON override (required for 260x346 sequences)")
     args = p.parse_args()
     for indir in args.indir:
-        cam = (calibs.from_user_json(args.calib) if args.calib
+        cam = (calibs.from_user_json(args.calib, default_size=(180, 240)) if args.calib
                else calibs.RPG_180x240[args.side])
         imgdir = ("images" if os.path.isdir(os.path.join(indir, "images"))
                   else None)

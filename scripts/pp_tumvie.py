@@ -33,13 +33,17 @@ def main():
             iter(glob.glob(os.path.join(indir, "*camera-calibration*.json"))),
             None)
         if args.calib:
-            evs, img = calibs.from_user_json(args.calib), None
+            evs, img = calibs.from_user_json(
+                args.calib, default_size=(720, 1280)), None
         else:
             if cj is None:
                 raise SystemExit(f"{indir}: no camera-calibration JSON found")
             evs = calibs.read_tumvie_calib(cj, ev_idx)
             img = calibs.read_tumvie_calib(cj, img_idx, for_images=True)
-        imgdir = ("images" if os.path.isdir(os.path.join(indir, "images"))
+        # the grayscale cameras are different sensors (1024x768): never
+        # undistort frames with the event calibration
+        imgdir = ("images" if img is not None
+                  and os.path.isdir(os.path.join(indir, "images"))
                   else None)
         off = preprocess_with_calib(
             indir, evs, suffix=f"_{args.side}",

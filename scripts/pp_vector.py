@@ -28,7 +28,7 @@ def main():
     for indir in args.indir:
         cdir = args.calib_dir or os.path.join(indir, "../0_calib")
         if args.calib:
-            evs, gray = calibs.from_user_json(args.calib), None
+            evs, gray = calibs.from_user_json(args.calib, default_size=(480, 640)), None
         else:
             evs = calibs.read_vector_calib(os.path.join(
                 cdir, f"{args.side}_event_camera_intrinsic_results.yaml"))
@@ -36,12 +36,16 @@ def main():
                 cdir, f"{args.side}_regular_camera_intrinsic_results.yaml")
             gray = (calibs.read_vector_calib(gp, size=(1024, 1224))
                     if os.path.exists(gp) else None)
-        imgdir = ("images" if os.path.isdir(os.path.join(indir, "images"))
+        # the grayscale camera is a DIFFERENT sensor (1024x1224): never
+        # undistort frames with the event calibration
+        imgdir = ("images" if gray is not None
+                  and os.path.isdir(os.path.join(indir, "images"))
                   else None)
         off = preprocess_with_calib(
             indir, evs, suffix=f"_{args.side}",
             imgs_ts_file=f"tss_imgs_us_{args.side}.txt",
-            images_dir=imgdir, img_calib=gray)
+            images_dir=imgdir, img_calib=gray,
+            normalize_times=False)
         print(f"{indir}: offset {off} us, rectify map + calib written")
 
 

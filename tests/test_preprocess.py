@@ -213,3 +213,46 @@ def test_voconfig_from_yaml(tmp_path):
     bad.write_text("KEYFRAME_TRESH: 1.0\n")
     with pytest.raises(ValueError, match="unknown config keys"):
         VOConfig.from_yaml(str(bad))
+
+
+def test_preprocess_rejects_sizeless_calib(tmp_path):
+    """A {K, dist}-only user JSON must fail loudly, not write (0,0) maps;
+    the pp CLIs fill the benchmark's default size instead."""
+    c = calibs.CamCalib(500.0, 500.0, 320.0, 240.0, (0, 0, 0, 0))
+    with pytest.raises(ValueError, match="no resolution"):
+        preprocess_with_calib(str(tmp_path), c)
+    p = tmp_path / "calib.json"
+    p.write_text(json.dumps({"K": [500, 501, 320, 240]}))
+    filled = calibs.from_user_json(str(p), default_size=(260, 346))
+    assert filled.size == (260, 346)
+    explicit = json.dumps({"K": [500, 501, 320, 240], "size": [480, 640]})
+    p.write_text(explicit)
+    assert calibs.from_user_json(str(p), default_size=(260, 346)).size \
+        == (480, 640)
+
+
+def test_preprocess_normalize_times_off(tmp_path):
+    """normalize_times=False (HKU/MVSEC/VECtor extraction trees) writes no
+    time sidecars — shifting only the GT would desync the loader's
+    dataset-native stamps."""
+    with h5py.File(tmp_path / "events.h5", "w") as f:
+        f["t"] = np.arange(7_000_000, 7_100_000, 100, np.int64)
+    cam = calibs.HKU["left"]
+    preprocess_with_calib(str(tmp_path), cam, suffix="_left",
+                          normalize_times=False)
+    assert not (tmp_path / "t_offset_us.txt").exists()
+    assert (tmp_path / "rectify_map_left.h5").exists()
+
+
+def test_from_yaml_preserves_pinned_edge_cap(tmp_path):
+    """Non-sizing yaml overrides must not silently re-derive an explicitly
+    pinned EDGE_CAP (it keys compiled executables)."""
+    from devo_tpu.runtime.config import VOConfig
+
+    base = VOConfig().replace(EDGE_CAP=8192)
+    p = tmp_path / "c.yaml"
+    p.write_text("KEYFRAME_THRESH: 25.0\n")
+    assert VOConfig.from_yaml(str(p), base=base).EDGE_CAP == 8192
+    p.write_text("PATCH_LIFETIME: 7\n")   # sizing knob -> re-derive
+    assert VOConfig.from_yaml(str(p), base=base).EDGE_CAP \
+        == VOConfig(PATCH_LIFETIME=7).EDGE_CAP

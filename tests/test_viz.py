@@ -106,3 +106,14 @@ def test_plot_flow_train_and_depths(tmp_path, voxel):
     patches = rng.random((n, 4, 3, 3, 3)).astype(np.float32)
     viz.plot_patch_depths([voxel] * n, patches, str(tmp_path / "pd"))
     assert os.path.exists(tmp_path / "pd" / "depth_000000.png")
+
+
+def test_plot_flow_train_single_frame(tmp_path, voxel):
+    """n=1 leaves no neighbor panels; must still save a (blank) figure
+    instead of crashing on a zero-width figsize."""
+    step = {"ii": np.zeros(2, int), "jj": np.zeros(2, int),
+            "coords": np.zeros((2, 3, 3, 2)), "coords_gt": np.zeros((2, 3, 3, 2)),
+            "emask": np.ones(2, bool)}
+    paths = viz.plot_flow_train(voxel[None].transpose(0, 2, 3, 1), step,
+                                str(tmp_path))
+    assert all(os.path.exists(p) for p in paths)

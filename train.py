@@ -172,9 +172,11 @@ def main():
                 f"{v:.2f}" for k, v in vm.items()))
 
     prof_dir = os.path.join("runs", args.name, "profile")
+    prof_open = False
     for step in range(start, args.steps):
-        if args.profile and step - start == args.profile_at:
+        if args.profile and not prof_open and step - start >= args.profile_at:
             jax.profiler.start_trace(prof_dir)
+            prof_open = True
         batch = {k: jnp.asarray(v) for k, v in next(loader).items()}
         # structure-only warmup for the first 1k steps (train.py:160)
         structure_only = step < 1000 and args.checkpoint is None
@@ -182,10 +184,15 @@ def main():
         params, opt_state, metrics = step_fn(params, opt_state, batch, sub,
                                              step, structure_only)
         logger.push({k: float(v) for k, v in metrics.items()})
-        if args.profile and step - start == args.profile_at + args.profile_steps:
+        if prof_open and step - start >= args.profile_at + args.profile_steps:
             jax.block_until_ready(metrics)
             jax.profiler.stop_trace()
+            prof_open = False
             print(f"profile trace written to {prof_dir}")
+
+    if prof_open:   # run ended inside the trace window: flush, don't corrupt
+        jax.profiler.stop_trace()
+        print(f"profile trace written to {prof_dir}")
 
         if (step + 1) % args.ckpt_every == 0:
             path = os.path.abspath(
