@@ -115,7 +115,10 @@ def main():
     dt = time.perf_counter() - t_all0
 
     fps = WINDOWS * per / dt
-    steady = max(win_fps)
+    # median, not max: the uploader pre-fills its queue during
+    # wait_buckets(), so the first window often runs transfer-wait-free and
+    # would flatter a max()-based "steady" number
+    steady = float(np.median(win_fps))
     spread = (max(win_fps) - min(win_fps)) / max(win_fps)
     print(json.dumps({
         "metric": "event_vo_fps_640x480",

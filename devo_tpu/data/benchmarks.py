@@ -116,16 +116,23 @@ def _slicer_windows(events_h5, tss_us, intr, H, W, rect_map, dT_ms,
     with h5py.File(events_h5, "r") as f:
         slicer = EventSlicer(f)
         for ts_us in tss_us:
-            ev = slicer.get_events(int(ts_us), int(ts_us + dT_ms * 1e3))
+            t1_us = ts_us + dT_ms * 1e3
+            ev = slicer.get_events(int(ts_us), int(t1_us))
             if ev is None or ev["t"].size < 2:
                 continue
             vox = to_voxel_grid(ev["x"], ev["y"], ev["t"], ev["p"], H, W, 5,
                                 rectify_map=rect_map)
-            if hotpix_stds is not None:
-                vox = remove_hot_pixels_voxel(vox, num_stds=hotpix_stds)
+            # trafos order is resize THEN hot-pixel filter, matching the
+            # reference's trafos=[resize, RemoveHotPixelsVoxel]
+            # (load_utils.py:101-112) — the sigma test runs on the
+            # downscaled voxel
             if resize_to is not None:
                 vox = _resize_voxel(vox, *resize_to)
-            yield vox, intr, float(ts_us) / 1e6
+            if hotpix_stds is not None:
+                vox = remove_hot_pixels_voxel(vox, num_stds=hotpix_stds)
+            # the emitted stamp is the window MIDPOINT (t0+t1)/2
+            # (load_utils.py:76) — GT association breaks at start stamps
+            yield vox, intr, float(ts_us + t1_us) / 2e6
 
 
 def _worker_windows(args):
@@ -135,16 +142,17 @@ def _worker_windows(args):
     with h5py.File(events_h5, "r") as f:
         slicer = EventSlicer(f)
         for ts_us in tss_chunk:
-            ev = slicer.get_events(int(ts_us), int(ts_us + dT_ms * 1e3))
+            t1_us = ts_us + dT_ms * 1e3
+            ev = slicer.get_events(int(ts_us), int(t1_us))
             if ev is None or ev["t"].size < 2:
                 continue
             vox = to_voxel_grid(ev["x"], ev["y"], ev["t"], ev["p"], H, W, 5,
                                 rectify_map=rect_map)
+            if resize_to is not None:     # resize BEFORE hotpix, see
+                vox = _resize_voxel(vox, *resize_to)   # _slicer_windows
             if hotpix_stds is not None:
                 vox = remove_hot_pixels_voxel(vox, num_stds=hotpix_stds)
-            if resize_to is not None:
-                vox = _resize_voxel(vox, *resize_to)
-            out.append((vox, float(ts_us) / 1e6))
+            out.append((vox, float(ts_us + t1_us) / 2e6))
     return out
 
 
@@ -305,11 +313,16 @@ def mvsec_evs_iterator(scenedir, side="left", stride=1, H=260, W=346):
         all_evs = np.asarray(f["davis"][side]["events"])  # [x, y, t_s, p]
     tss = np.sort(np.loadtxt(osp.join(scenedir, f"tss_imgs_us_{side}.txt")))
     assert num_imgs == len(tss)
-    left = 0
-    for i in range(0, num_imgs, stride):
+    # windows ALWAYS span consecutive images (the reference's stride arg is
+    # unused, load_utils.py:851-860); stride only thins which voxels are
+    # emitted — carrying `left` across strided frames would merge several
+    # inter-image intervals into one voxel
+    for i in range(num_imgs):
+        left = int(event_idxs[i - 1]) if i > 0 else 0
         right = int(event_idxs[i])
+        if i % stride:
+            continue
         b = all_evs[left:right]
-        left = right
         if len(b) < 2:
             continue
         r = rect[b[:, 1].astype(np.int32), b[:, 0].astype(np.int32)]

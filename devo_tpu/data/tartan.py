@@ -195,6 +195,20 @@ def pose_read(scene: str) -> np.ndarray:
 TARTAN_INTRINSICS = np.asarray([320.0, 320.0, 320.0, 240.0], np.float32)
 
 
+def evs_scene_dir(root: str, entry: str) -> str:
+    """Resolve a split-file entry (<env>/<env>/<difficulty>/<Pxxx>) to its
+    evs_left scene dir: the converted data tree inserts evs_left before the
+    trajectory component (<...>/<difficulty>/evs_left/<Pxxx>/h5/*.h5).
+    Entries that already contain evs_left pass through."""
+    import os
+
+    entry = entry.rstrip("/")
+    if "evs_left" in entry:
+        return os.path.join(root, entry)
+    head, tail = os.path.split(entry)
+    return os.path.join(root, head, "evs_left", tail)
+
+
 class TartanAirEVS:
     """Clip-sampling dataset over converted TartanAir-EVS scenes
     (tartan.py:140-207 + base.py:288-383)."""

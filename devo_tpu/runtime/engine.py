@@ -709,13 +709,15 @@ class _EdgeCountSampler:
         self._lock = threading.Lock()
         self._ev = threading.Event()
         self._pending = None
+        self._gen = 0                 # bumped by reset(); stale-sequence
+                                      # samples carry the old generation
         self.latest = None            # (frame_idx, count)
         t = threading.Thread(target=self._run, daemon=True)
         t.start()
 
     def submit(self, frame_idx, arr):
         with self._lock:
-            self._pending = (frame_idx, arr)
+            self._pending = (self._gen, frame_idx, arr)
         self._ev.set()
 
     def _run(self):
@@ -726,13 +728,17 @@ class _EdgeCountSampler:
                 self._ev.clear()
             if item is None:
                 continue
-            f, arr = item
+            g, f, arr = item
             try:
-                v = int(arr)          # blocks in this thread only
+                v = int(arr)          # blocks in this thread only (~31 ms)
             except Exception:
                 continue
             with self._lock:
-                self.latest = (f, v)
+                # a reset() may have raced the device read above: publishing
+                # the old sequence's count would mis-size the next
+                # sequence's first bucket
+                if g == self._gen:
+                    self.latest = (f, v)
 
     def read(self):
         with self._lock:
@@ -740,6 +746,7 @@ class _EdgeCountSampler:
 
     def reset(self):
         with self._lock:
+            self._gen += 1
             self.latest = None
             self._pending = None
 

@@ -18,14 +18,10 @@ from typing import Dict, Optional
 import numpy as np
 
 from devo_tpu.data.loaders import voxel_h5_iterator
-from devo_tpu.data.tartan import DEPTH_SCALE
+from devo_tpu.data.tartan import DEPTH_SCALE, TARTAN_INTRINSICS
 from devo_tpu.eval.ate import ate_real
 from devo_tpu.eval.harness import run_voxel
 from devo_tpu.runtime.config import EVAL_CONFIGS, VOConfig
-
-# TartanAir pinhole intrinsics (tartanair_tools camera spec; the reference's
-# eval passes them per frame from the dataset, data_readers/tartan.py)
-TARTAN_INTRINSICS = np.asarray([320.0, 320.0, 320.0, 240.0], np.float32)
 
 
 def _load_tartan_gt(scene: str) -> np.ndarray:
@@ -77,7 +73,11 @@ def validate_tartan_evs(
         try:
             poses, tss_est, _fps = run_voxel(cfg, params, it(), ht, wd,
                                              engine_cache=engine_cache)
-        except RuntimeError:
+        except RuntimeError as e:
+            # a silently skipped scene would make val/ate_mean look better
+            # over an unannounced subset — record the failure loudly
+            print(f"[val] scene {name} FAILED: {e}")
+            metrics[f"val/{name}/failed"] = 1.0
             continue
         m = ate_real(poses, tss_est, gt, tss, max_diff=0.5)
         metrics[f"val/{name}/ate"] = float(m.ate)

@@ -59,11 +59,18 @@ def evaluate_benchmark(benchmark: str, args) -> dict:
                 os.path.join(datapath, "stamped_groundtruth_us.txt"))
 
         def _make_iterator(dp=datapath, gt=tss_gt_us):
+            # the quirk iterators are GENERATORS — their file I/O raises at
+            # the first next(), not at call time — so probe one item before
+            # committing to them, then stitch it back on
+            import itertools
             try:
-                return benchmark_evs_iterator(benchmark, dp,
-                                              stride=args.stride, tss_gt_us=gt)
-            except (FileNotFoundError, OSError, IndexError):
+                it = benchmark_evs_iterator(benchmark, dp,
+                                            stride=args.stride, tss_gt_us=gt)
+                first = next(it)
+            except (FileNotFoundError, OSError, IndexError, AssertionError,
+                    StopIteration):
                 return benchmark_iterator(benchmark, dp, stride=args.stride)
+            return itertools.chain([first], it)
 
         med, all_res, fps = evaluate_sequence(
             cfg, params,
@@ -94,16 +101,12 @@ def _evaluate_tartanair(cfg, params, scenes, args, engine_cache) -> dict:
     voxel t accumulates events between frames t-1 and t;
     /root/reference/evals/eval_evs/eval_tartan_evs.py:38-55)."""
     from devo_tpu.data.loaders import voxel_h5_iterator
-    from devo_tpu.train.validate import TARTAN_INTRINSICS, _load_tartan_gt
+    from devo_tpu.data.tartan import TARTAN_INTRINSICS, evs_scene_dir
+    from devo_tpu.train.validate import _load_tartan_gt
 
     results = {}
     for scene in scenes:
-        parts = scene.rstrip("/").split("/")
-        if "evs_left" in parts:
-            scenedir = os.path.join(args.datapath, scene)
-        else:
-            scenedir = os.path.join(args.datapath, *parts[:-1], "evs_left",
-                                    parts[-1])
+        scenedir = evs_scene_dir(args.datapath, scene)
         vdir = os.path.join(scenedir, "h5") \
             if os.path.isdir(os.path.join(scenedir, "h5")) else scenedir
         traj_gt = _load_tartan_gt(scenedir)

@@ -22,8 +22,7 @@ from devo_tpu.runtime.config import EVAL_CONFIGS
 from common import load_params, make_parser
 from common_frames import frame_iterator
 
-# TartanAir pinhole camera (tartanair_tools spec)
-TARTAN_INTR = np.asarray([320.0, 320.0, 320.0, 240.0], np.float32)
+from devo_tpu.data.tartan import TARTAN_INTRINSICS as TARTAN_INTR
 NED_PERM = [1, 2, 0, 4, 5, 3, 6]       # ned -> xyz (eval_tartan_e2v.py:41)
 
 

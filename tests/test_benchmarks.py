@@ -65,8 +65,9 @@ def test_eds_half_window_and_hardcoded_intrinsics(tmp_path):
     vox, intr, ts = out[0]
     assert vox.shape == (5, 480, 640)
     np.testing.assert_array_equal(intr, bm.EDS_INTRINSICS["calib0"])
-    # EDS timestamps are the image stamps themselves (slicer convention)
-    np.testing.assert_allclose(ts, tss_imgs()[0] / 1e6)
+    # the emitted stamp is the window MIDPOINT (load_utils.py:76): for EDS
+    # t0 = image stamp, t1 = t0 + dT (half the mean spacing)
+    np.testing.assert_allclose(ts, (tss_imgs()[0] + DT_US / 4) / 1e6)
     # dT = mean spacing / 2: events of the first window must all fall in
     # [ts0, ts0 + 5ms) — check by re-voxelizing manually
     sel = (t >= tss_imgs()[0]) & (t < tss_imgs()[0] + DT_US / 2)

@@ -164,5 +164,7 @@ def test_eds_iterator_through_engine(tmp_path, shared):
     dump = np.loadtxt(tmp_path / "out" / "eds_synt_trial0.txt")
     # iterator drops the last image stamp (window needs a right edge)
     assert len(dump) >= n_imgs - 2
-    # engine timestamps are the EDS image stamps in seconds
-    np.testing.assert_allclose(dump[0, 0], tss_us[0] / 1e6, rtol=1e-6)
+    # engine timestamps are the window midpoints (t0 + dT/2) in seconds
+    # (load_utils.py:76); EDS dT = half the mean image spacing
+    np.testing.assert_allclose(dump[0, 0], (tss_us[0] + dt_us / 4) / 1e6,
+                               rtol=1e-6)

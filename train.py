@@ -134,18 +134,9 @@ def main():
     # 10k steps and logs ATE + trajectory figures, train.py:282-294)
     val_scenes = []
     if args.eval_every and args.val_split and os.path.exists(args.val_split):
+        from devo_tpu.data.tartan import evs_scene_dir
         root = args.val_datapath or args.datapath
-
-        def scene_dir(entry):
-            # split entries are <env>/<env>/<difficulty>/<Pxxx>; the data
-            # tree inserts evs_left before the trajectory component
-            # (<...>/<difficulty>/evs_left/<Pxxx>/h5/*.h5)
-            if "evs_left" in entry:
-                return os.path.join(root, entry)
-            head, tail = os.path.split(entry.rstrip("/"))
-            return os.path.join(root, head, "evs_left", tail)
-
-        val_scenes = [scene_dir(s)
+        val_scenes = [evs_scene_dir(root, s)
                       for s in open(args.val_split).read().split()]
         val_scenes = [s for s in val_scenes if os.path.isdir(s)]
     val_engines = {}   # compiled engines persist across validation rounds
