@@ -37,13 +37,17 @@ def run_voxel(cfg: VOConfig, params, iterator, ht: int, wd: int,
         if slam is None:
             H, W = voxel.shape[-2], voxel.shape[-1]
             W_eff = W - 2 if W == 346 else W  # MVSEC crop (devo.py:466)
-            if engine_cache is not None and (H, W_eff) in engine_cache:
-                slam = engine_cache[(H, W_eff)]
+            # the key includes cfg: a cached engine keeps ITS config on
+            # reset, so reusing across configs (e.g. run_voxel_norm_seq's
+            # NORM='none') would silently track with the wrong settings
+            key = (H, W_eff, cfg)
+            if engine_cache is not None and key in engine_cache:
+                slam = engine_cache[key]
                 slam.reset(seed=seed, params=params)
             else:
                 slam = DEVO(cfg, params, ht=H, wd=W_eff, seed=seed)
                 if engine_cache is not None:
-                    engine_cache[(H, W_eff)] = slam
+                    engine_cache[key] = slam
             t_start = time.perf_counter()
         vox_hwc = np.transpose(voxel, (1, 2, 0))  # (H, W, bins)
         slam(tss, vox_hwc, intrinsics)
@@ -64,6 +68,41 @@ def run_voxel(cfg: VOConfig, params, iterator, ht: int, wd: int,
 
     poses, tstamps = slam.terminate()
     return poses, tstamps, fps
+
+
+def run_voxel_norm_seq(cfg: VOConfig, params, iterator, ht: int, wd: int,
+                       seed: int = 0, final_updates: int = 12,
+                       N_norm: int = 15, engine_cache: Optional[dict] = None):
+    """run_voxel with BATCHED sequence normalization: buffer N_norm frames,
+    rescale each polarity jointly over the batch to [-1, 1], then track
+    (/root/reference/utils/eval_utils.py:69-107 run_voxel_norm_seq). The
+    engine must run with NORM='none' so frames are not re-normalized."""
+    cfg = cfg.replace(NORM="none")
+
+    def normed():
+        buf = []
+        for item in iterator:
+            buf.append(item)
+            if len(buf) < N_norm:
+                continue
+            yield from _flush_norm(buf)
+            buf = []
+        yield from _flush_norm(buf)
+
+    def _flush_norm(buf):
+        if not buf:
+            return
+        vox = np.stack([np.asarray(v, np.float32) for v, _, _ in buf])
+        pos, neg = vox > 0, vox < 0
+        vmax = vox[pos].max() if pos.any() else 1.0
+        vmin = vox[neg].min() if neg.any() else 1.0
+        vox = np.where(pos, vox / vmax, vox)
+        vox = np.where(neg, vox / -vmin, vox)
+        for v, (_, intr, t) in zip(vox, buf):
+            yield v, intr, t
+
+    return run_voxel(cfg, params, normed(), ht, wd, seed=seed,
+                     final_updates=final_updates, engine_cache=engine_cache)
 
 
 def evaluate_sequence(

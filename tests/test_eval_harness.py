@@ -168,3 +168,20 @@ def test_eds_iterator_through_engine(tmp_path, shared):
     # (load_utils.py:76); EDS dT = half the mean image spacing
     np.testing.assert_allclose(dump[0, 0], (tss_us[0] + dt_us / 4) / 1e6,
                                rtol=1e-6)
+
+
+def test_run_voxel_norm_seq(shared):
+    """Batched sequence normalization variant
+    (eval_utils.py:69-107): N_norm frames are rescaled jointly per polarity
+    before tracking, and the engine runs with NORM='none' under a cache key
+    that cannot collide with the std-normalizing engines."""
+    from devo_tpu.eval.harness import run_voxel_norm_seq
+
+    vox = _voxels()
+    it = iter([(v, INTR, float(i)) for i, v in enumerate(vox)])
+    poses, tss, fps = run_voxel_norm_seq(
+        CFG, shared["params"], it, HT, WD, N_norm=6,
+        engine_cache=shared["engine_cache"])
+    assert poses.shape == (N_FRAMES, 7) and np.isfinite(poses).all()
+    # the NORM='none' engine got its own cache slot (cfg is in the key)
+    assert len(shared["engine_cache"]) == 2
