@@ -22,7 +22,28 @@ def _hb(msg):
           flush=True)
 
 
+def _probe_backend(timeout_s: int = 300) -> bool:
+    """The axon backend init HANGS indefinitely while the TPU tunnel is
+    down (observed 2026-08-17/18); probe it in a bounded subprocess so a
+    dead tunnel fails the bench in minutes, not the driver's whole budget."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_backend():
+        _hb("backend init probe failed/timed out (TPU tunnel down?) — "
+            "aborting instead of hanging")
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
 
