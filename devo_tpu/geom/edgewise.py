@@ -210,15 +210,13 @@ def flow_mag_edges(
 ) -> jnp.ndarray:
     """Per-edge mean flow magnitude (pops.flow_mag over a small edge set).
     Returns (E,) mean over patch pixels."""
-    g0 = reproject(poses, patches, intrinsics, ii, ii, kk, window=window)
     g1 = reproject(poses, patches, intrinsics, ii, jj, kk, window=window)
     # translation-only transform: zero out rotation by using identity rel
     # rotation — reproduce pops.transform(tonly=True)
-    E = ii.shape[0]
-    P2 = g0.coords_x.shape[1]
     fp = patches.reshape(patches.shape[0], -1) if patches.ndim == 4 else patches
     gp_i, gp_j, intr_i, intr_j, pk = _tables(
         poses, intrinsics, fp, ii, jj, kk, window)
+    P2 = g1.coords_x.shape[1]
     ti = (gp_i[:, 0], gp_i[:, 1], gp_i[:, 2])
     qi = (gp_i[:, 3], gp_i[:, 4], gp_i[:, 5], gp_i[:, 6])
     tj = (gp_j[:, 0], gp_j[:, 1], gp_j[:, 2])
@@ -236,6 +234,9 @@ def flow_mag_edges(
     tx = intr_j[:, 0:1] * X * d + intr_j[:, 2:3]
     ty = intr_j[:, 1:2] * Y * d + intr_j[:, 3:4]
 
-    f1 = jnp.sqrt((g1.coords_x - g0.coords_x) ** 2 + (g1.coords_y - g0.coords_y) ** 2)
-    f2 = jnp.sqrt((tx - g0.coords_x) ** 2 + (ty - g0.coords_y) ** 2)
+    # the reference's coords0 = transform(..., ii, ii) is an identity
+    # transform whose projection is algebraically the raw patch coords —
+    # (px, py) replaces a third full reproject on the keyframe path
+    f1 = jnp.sqrt((g1.coords_x - px) ** 2 + (g1.coords_y - py) ** 2)
+    f2 = jnp.sqrt((tx - px) ** 2 + (ty - py) ** 2)
     return (beta * f1 + (1 - beta) * f2).mean(axis=-1)

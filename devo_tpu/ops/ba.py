@@ -58,7 +58,6 @@ def assemble(
     pk: jnp.ndarray,      # (E,) local patch slot in [0, M)
     n_poses: int,
     n_patches: int,
-    kk_sorted: bool = False,
 ) -> BASystem:
     """Accumulate the block Hessian without scatters (ba_cuda.cu:242-363)."""
     mi = li >= 0
@@ -141,21 +140,34 @@ def schur_solve(
 ):
     """Schur-complement solve (ba_cuda.cu:492-527 / devo/ba.py:155-173).
 
-    Returns (dX (N, 6), dZ (M,), ok scalar bool). On Cholesky failure both
-    updates are zero, mirroring the reference's swallow-and-continue
-    semantics (devo/ba.py:14-26, devo.py:336-340).
+    Returns (dX (N, 6), dZ (M,), ok scalar bool). On Cholesky failure dX
+    is zeroed but dZ is still applied as Q*u — the reference's
+    CholeskySolver returns zeros for dX and the caller then computes
+    dZ = Q*(w - E^T*0) (devo/ba.py:14-26, :173) — swallow-and-continue
+    applies to the POSE update only.
+
+    `structure_only` may be a traced bool: the full system is solved and
+    the trivial structure-only updates are selected with where(), so one
+    call serves both modes in a single compiled graph (the CUDA code
+    switches on t1 - t0 == 0 at runtime, ba_cuda.cu:494-506).
     """
     B, E, C, v, u = sys
     Q = 1.0 / (C + lmbda)  # (M,)
+    dZ_so = Q * u
+    dZ_so = jnp.where(jnp.isfinite(dZ_so), dZ_so, 0.0)
 
-    if structure_only:
-        dZ = Q * u
-        ok = jnp.isfinite(dZ).all()
-        return jnp.zeros((B.shape[0] // 6, 6), B.dtype), jnp.where(ok, dZ, 0.0), ok
+    if isinstance(structure_only, bool) and structure_only:
+        # static structure-only (training warmup): skip the solve entirely
+        ok = jnp.isfinite(dZ_so).all()
+        return jnp.zeros((B.shape[0] // 6, 6), B.dtype), dZ_so, ok
 
+    hp = jax.lax.Precision.HIGHEST
     EQ = E * Q[None, :]
-    S = B - jax.lax.dot(EQ, E.T, precision=jax.lax.Precision.HIGHEST)
-    y = v - EQ @ u
+    S = B - jax.lax.dot(EQ, E.T, precision=hp)
+    # keep the rhs and back-substitution products at f32: DEFAULT matmul
+    # precision is bf16-effective on TPU and would inject ~1e-3 relative
+    # noise into every GN update (the CPU suite can't see this)
+    y = v - jax.lax.dot(EQ, u, precision=hp)
     diag = jnp.diagonal(S)
     S = S + jnp.diag(ep + lm * diag)
 
@@ -165,8 +177,13 @@ def schur_solve(
     z = jax.scipy.linalg.solve_triangular(L_safe, y, lower=True)
     dX = jax.scipy.linalg.solve_triangular(L_safe.T, z, lower=False)
     dX = jnp.where(ok, dX, 0.0)
-    dZ = Q * (u - E.T @ dX)
-    dZ = jnp.where(ok, dZ, 0.0)
+    dZ = Q * (u - jax.lax.dot(E.T, dX, precision=hp))
+    dZ = jnp.where(jnp.isfinite(dZ), dZ, 0.0)
+    if not isinstance(structure_only, bool):
+        so = jnp.asarray(structure_only)
+        dX = jnp.where(so, 0.0, dX)
+        dZ = jnp.where(so, dZ_so, dZ)
+        ok = jnp.where(so, jnp.isfinite(dZ_so).all(), ok)
     return dX.reshape(-1, 6), dZ, ok
 
 
@@ -192,7 +209,6 @@ def gauss_newton_step(
     lm: float,
     structure_only: bool = False,
     depth_clamp: str = "inference",
-    kk_sorted: bool = False,
     geo_window=None,
 ):
     """One Gauss-Newton iteration over the active window.
@@ -219,23 +235,37 @@ def gauss_newton_step(
     pk = (kk - kbase).astype(jnp.int32)
     slot_ok = (pk >= 0) & (pk < patch_slots)
     w = jnp.where(slot_ok[:, None], w, 0.0)
-    if kk_sorted:
-        # masked/out-of-range rows must sort past the last boundary
-        pk = jnp.where(slot_ok & mask, pk, patch_slots)
     sys = assemble(geo.Ji, geo.Jj, geo.Jz, r, w, li, lj, pk,
-                   window, patch_slots, kk_sorted=kk_sorted)
+                   window, patch_slots)
     dX, dZ, ok = schur_solve(sys, lmbda, ep, lm, structure_only=structure_only)
 
-    # pose retraction (ba_cuda.cu:160-188): poses[t0 + i] <- Exp(dX_i) * pose
-    pose_idx = t0 + jnp.arange(window)
-    pose_upd = se3.retr(poses[pose_idx], dX)
-    upd_mask = (pose_idx < t1)[:, None]
-    new_rows = jnp.where(upd_mask, pose_upd, poses[pose_idx])
-    poses = poses.at[pose_idx].set(new_rows, mode="drop")
+    # pose retraction (ba_cuda.cu:160-188): poses[t0 + i] <- Exp(dX_i) *
+    # pose. The free poses are CONTIGUOUS [t0, t1) — windowed dynamic
+    # slices, not a row gather + scatter (both serialize on TPU; see
+    # CLAUDE.md invariants)
+    Np = poses.shape[0]
+    base = jnp.clip(t0, 0, Np - window)
+    sh = t0 - base            # > 0 only when t0 would overrun the buffer
+    rows = jnp.arange(window)
+    blk = jax.lax.dynamic_slice(poses, (base, jnp.int32(0)), (window, 7))
+    dX_rows = dX[jnp.clip(rows - sh, 0, window - 1)]   # (window, 6) tiny
+    upd = se3.retr(blk, dX_rows)
+    sel = ((base + rows >= t0) & (base + rows < t1))[:, None]
+    poses = jax.lax.dynamic_update_slice(
+        poses, jnp.where(sel, upd, blk), (base, jnp.int32(0)))
 
     # depth retraction (ba_cuda.cu:191-211 / devo/ba.py:175-177); supports
-    # both the generic (Mp, 3, P, P) layout and the runtime's flat (Mp, 3PP)
-    touched = sys.C > 0
+    # both the generic (Mp, 3, P, P) layout and the runtime's flat (Mp, 3PP).
+    # The clamp applies to every patch the solve ADDRESSES (reference kx =
+    # unique(kk): even patches whose edges were all residual-gated — C == 0
+    # — get the d>20 reset / floor); training clamps the whole window
+    # (devo/ba.py:176 clamps the full disps tensor).
+    if depth_clamp == "training":
+        touched = jnp.ones_like(sys.C, bool)
+    else:
+        pk_ids = jnp.arange(patch_slots, dtype=pk.dtype)
+        touched = jnp.any((pk[None, :] == pk_ids[:, None])
+                          & (mask & slot_ok)[None, :], axis=1)
     # the active patch slots are CONTIGUOUS [kbase, kbase + patch_slots):
     # windowed dynamic slices, not row gathers/scatters (serial loops on TPU)
     kb = jnp.clip(kbase, 0, patches.shape[0] - patch_slots)
@@ -272,31 +302,28 @@ def run_ba(
     t0, t1, kbase, window: int, patch_slots: int, bounds,
     iterations: int = 2, structure_only=None, max_residual: float = 128.0,
     ep: float = 1.0, lm: float = 1e-4, depth_clamp: str = "inference",
-    kk_sorted: bool = False, geo_window=None,
+    kk_sorted: bool = False,  # accepted for API compat; one-hot assembly
+                              # no longer has a sorted-ids fast path
+    geo_window=None,
 ):
     """Multi-iteration Gauss-Newton BA (cuda_ba loop, ba_cuda.cu:461-537).
 
     `structure_only` may be a traced bool (the CUDA code switches on
-    t1 - t0 == 0); both branches share the assembled system.
+    t1 - t0 == 0): schur_solve handles it with a where-select, so the
+    system is reprojected and assembled ONCE per iteration — not traced
+    twice through a lax.cond (each trace is a full reproject + Hessian
+    assembly, and first compiles cost minutes on the remote compiler).
     """
     if structure_only is None:
         structure_only = (t1 - t0) == 0
 
     def body(carry, _):
         poses_, patches_ = carry
-
-        def step(so):
-            def fn(args):
-                p, q = args
-                return gauss_newton_step(
-                    p, q, intrinsics, target, weight, lmbda, ii, jj, kk, mask,
-                    t0, t1, kbase, window, patch_slots, bounds, max_residual,
-                    ep, lm, structure_only=so, depth_clamp=depth_clamp,
-                    kk_sorted=kk_sorted, geo_window=geo_window)[:2]
-            return fn
-
-        poses_, patches_ = jax.lax.cond(
-            structure_only, step(True), step(False), (poses_, patches_))
+        poses_, patches_, _ = gauss_newton_step(
+            poses_, patches_, intrinsics, target, weight, lmbda, ii, jj, kk,
+            mask, t0, t1, kbase, window, patch_slots, bounds, max_residual,
+            ep, lm, structure_only=structure_only, depth_clamp=depth_clamp,
+            geo_window=geo_window)
         return (poses_, patches_), None
 
     (poses, patches), _ = jax.lax.scan(body, (poses, patches), None, length=iterations)
