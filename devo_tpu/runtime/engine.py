@@ -425,20 +425,30 @@ def _motion_probe(net: EVONet, params, cfg: VOConfig, st: VOState):
 
 # ----------------------------------------------------------------- keyframe
 
-def _motionmag(cfg: VOConfig, st: VOState, i, j):
-    """Mean flow magnitude over edges (i -> j) (devo.py:258-265). Computed
-    as a masked mean over the full table — flow_mag is cheap vector math,
-    whereas a fixed-size nonzero gather lowers to a serial per-row loop."""
-    sel = (st.ii == i) & (st.jj == j) & st.emask
+def _motionmag2(cfg: VOConfig, st: VOState, i, j):
+    """Mean flow magnitude over edges (i -> j) and (j -> i)
+    (devo.py:258-265), from ONE full-table flow pass — flow_mag is cheap
+    vector math but its reproject is a per-edge table pass, so the two
+    directions share it. Returns (mean_ij, mean_ji, both_nonempty):
+    the reference's .mean() over an empty selection is NaN, which makes
+    the keyframe test `m/2 < thresh` FALSE — an empty direction must
+    suppress the cull, not force it (edge-cap tail-drop sheds exactly
+    these recent-frame edges under pressure)."""
     fm = edgewise.flow_mag_edges(st.poses, st.patches, st.intrinsics,
                                  st.ii, st.jj, st.kk, beta=0.5,
                                  window=_live_window(cfg, st))
-    cnt = jnp.sum(sel)
-    s = jnp.sum(jnp.where(sel, fm, 0.0))
-    return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), 0.0)
+
+    def masked_mean(a, b):
+        sel = (st.ii == a) & (st.jj == b) & st.emask
+        cnt = jnp.sum(sel)
+        return jnp.sum(jnp.where(sel, fm, 0.0)) / jnp.maximum(cnt, 1), cnt > 0
+
+    m_ij, ok_ij = masked_mean(i, j)
+    m_ji, ok_ji = masked_mean(j, i)
+    return m_ij, m_ji, ok_ij & ok_ji
 
 
-def _shift_ring(buf: jnp.ndarray, n, k, mem: int, L: int):
+def _shift_ring(buf: jnp.ndarray, k, mem: int, L: int):
     """Ring-buffer shift for keyframe removal (devo.py:297-300): the slots
     of frames k .. n-2 (a static L = KEYFRAME_INDEX-1 of them) take the next
     frame's content. Single-slot dynamic moves — a whole-ring gather reads
@@ -493,19 +503,19 @@ def _remove_keyframe(cfg: VOConfig, st: VOState, k) -> VOState:
         # (N, M*27) forces a physical relayout both ways (~1 ms/frame of
         # reshape+copy in the keyframe branch, see PERF_NOTES.md)
         patches=shift_frames(st.patches, rows_per_frame=M),
-        imap=_shift_ring(st.imap.reshape(mem, M, -1), st.n, k, mem, L).reshape(st.imap.shape),
-        gmap=_shift_ring(st.gmap.reshape(mem, M, *st.gmap.shape[1:]), st.n, k, mem, L).reshape(st.gmap.shape),
-        fmap1=_shift_ring(st.fmap1, st.n, k, mem, L) if st.fmap1.shape[0]
+        imap=_shift_ring(st.imap.reshape(mem, M, -1), k, mem, L).reshape(st.imap.shape),
+        gmap=_shift_ring(st.gmap.reshape(mem, M, *st.gmap.shape[1:]), k, mem, L).reshape(st.gmap.shape),
+        fmap1=_shift_ring(st.fmap1, k, mem, L) if st.fmap1.shape[0]
         else st.fmap1,
-        fmap2=_shift_ring(st.fmap2, st.n, k, mem, L) if st.fmap2.shape[0]
+        fmap2=_shift_ring(st.fmap2, k, mem, L) if st.fmap2.shape[0]
         else st.fmap2,
-        fmap1b=_shift_ring(st.fmap1b, st.n, k, mem, L) if st.fmap1b.shape[0]
+        fmap1b=_shift_ring(st.fmap1b, k, mem, L) if st.fmap1b.shape[0]
         else st.fmap1b,
-        fmap2b=_shift_ring(st.fmap2b, st.n, k, mem, L) if st.fmap2b.shape[0]
+        fmap2b=_shift_ring(st.fmap2b, k, mem, L) if st.fmap2b.shape[0]
         else st.fmap2b,
-        fsc1=_shift_ring(st.fsc1, st.n, k, mem, L) if st.fsc1.shape[0]
+        fsc1=_shift_ring(st.fsc1, k, mem, L) if st.fsc1.shape[0]
         else st.fsc1,
-        fsc2=_shift_ring(st.fsc2, st.n, k, mem, L) if st.fsc2.shape[0]
+        fsc2=_shift_ring(st.fsc2, k, mem, L) if st.fsc2.shape[0]
         else st.fsc2,
         n=st.n - 1,
     )
@@ -516,8 +526,9 @@ def _keyframe(cfg: VOConfig, st: VOState) -> Tuple[VOState, Dict[str, jnp.ndarra
     if small, remove frame t-4 and record its relative pose delta."""
     i = st.n - cfg.KEYFRAME_INDEX - 1
     j = st.n - cfg.KEYFRAME_INDEX + 1
-    m = _motionmag(cfg, st, i, j) + _motionmag(cfg, st, j, i)
-    remove = (m / 2.0 < cfg.KEYFRAME_THRESH) & (i >= 0)
+    m_ij, m_ji, nonempty = _motionmag2(cfg, st, i, j)
+    m = m_ij + m_ji
+    remove = (m / 2.0 < cfg.KEYFRAME_THRESH) & (i >= 0) & nonempty
 
     k = st.n - cfg.KEYFRAME_INDEX
     t0 = st.tstamps[jnp.maximum(k - 1, 0)]
@@ -656,9 +667,19 @@ def make_step(net: EVONet, cfg: VOConfig):
             def accepted(st):
                 st = st._replace(n=st.n + 1)
                 # the previous frame's purge, applied in the same merge
-                # (bound uses the pre-increment n, matching devo.py:305-306)
-                purge = ((st.kk // cfg.M)
-                         < (st.n - 1 - cfg.REMOVAL_WINDOW)) & st.emask
+                # (bound uses the pre-increment n, matching devo.py:305-306).
+                # DELIBERATE deviation: edges whose TARGET frame jj has left
+                # the live window are purged too. The reference keeps them
+                # (it purges by patch frame only) but reads their corr
+                # features from a ring slot already overwritten once
+                # jj < n - MEM — silent feature aliasing; here they would
+                # clamp to the window edge and read the wrong pose. Both are
+                # garbage inputs; dropping the edge is strictly cleaner.
+                # +1 margin: the purge runs one frame before the window that
+                # the next update sees.
+                purge = (((st.kk // cfg.M)
+                          < (st.n - 1 - cfg.REMOVAL_WINDOW))
+                         | (st.jj < st.n - (cfg.MEM - 6) + 1)) & st.emask
                 st = _append_edges(cfg, st, drop=purge)
 
                 def do_init(st):
@@ -887,12 +908,14 @@ class DEVO:
             if jax.default_backend() == "tpu" else None)
         self._sampler = _EdgeCountSampler()
         self._frame_idx = 0
-        self.tlist = []            # real timestamps of counted frames
         self.aux_log = []          # device aux records (lazy)
 
     @staticmethod
     def _round_cap(c: int) -> int:
-        return ((max(c, 1024) + 1023) // 1024) * 1024
+        # 1024-row bucket granularity == ops/table.py's _T tile and
+        # config._round_up's EDGE_CAP rounding — keep the three in sync
+        from devo_tpu.runtime.config import _round_up
+        return _round_up(max(c, 1024), 1024)
 
     def _warm_bucket(self, cap: int):
         """Compile the step executable for bucket `cap` by running one
@@ -909,6 +932,12 @@ class DEVO:
         intr = jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32)
         out = self.step_fn(self.params, dummy, voxel, np.float32(1.0), intr)
         jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        # warm the standalone refinement update too: the harness's 12 final
+        # update() calls would otherwise hit a fresh 10-90 s remote compile
+        # per bucket shape right after tracking finishes
+        dummy2 = init_state(cfg, cfg.HT, wd, seed=0, edge_cap=cap)
+        out2 = self._update_fn(self.params, dummy2)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out2)[0])
 
     def reset(self, seed: int = 0, params=None):
         """Reset tracking state for a new sequence/trial while KEEPING every
@@ -925,7 +954,6 @@ class DEVO:
         self._checked_once = False
         if hasattr(self, "_prev_sample"):
             del self._prev_sample
-        self.tlist = []
         self.aux_log = []
 
     def wait_buckets(self, timeout=None) -> bool:
@@ -941,7 +969,7 @@ class DEVO:
         host to the previous step); growth between checks is bounded by one
         append block per frame, covered by the margin."""
         self._frames_since_check = getattr(self, "_frames_since_check", 0) + 1
-        if self._frames_since_check < 2 and self.state.ii.shape[0] > 0 \
+        if self._frames_since_check < 2 \
                 and getattr(self, "_checked_once", False):
             return
         self._frames_since_check = 0
@@ -1046,7 +1074,11 @@ class DEVO:
         delta = {}
         tlist = []
         cnt = 0
-        for tstamp, aux in self.aux_log:
+        # ONE host transfer for the whole aux log: per-field int()/bool()
+        # reads cost a flat ~31 ms tunnel round-trip EACH (PERF_NOTES), i.e.
+        # minutes of sync reads on a long sequence
+        auxes_host = jax.device_get([a for _, a in self.aux_log])
+        for (tstamp, _), aux in zip(self.aux_log, auxes_host):
             status = int(aux.status)
             if status == 0:
                 continue

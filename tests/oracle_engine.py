@@ -203,7 +203,9 @@ class SlowDEVO:
         """devo.py:258-265."""
         k = (self.ii == i) & (self.jj == j)
         if k.sum() == 0:
-            return 0.0
+            # reference .mean() over empty is NaN -> `m/2 < thresh` False
+            # -> no cull; the engine encodes the same via a nonempty flag
+            return float("nan")
         flow = pops.flow_mag(
             jnp.asarray(self.poses_), jnp.asarray(self.patches_),
             jnp.asarray(self.intrinsics_),
@@ -256,8 +258,13 @@ class SlowDEVO:
         cfg, M, P, mem = self.cfg, self.M, self.P, self.mem
 
         # deferred REMOVAL_WINDOW purge from the previous frame's keyframe()
+        # plus the engine's DOCUMENTED deviation: edges whose target frame
+        # left the live feature window are dropped (the reference keeps
+        # them but reads ring-aliased corr features once jj < n - MEM;
+        # see engine.py `accepted`)
         if len(self.kk):
-            self._remove(self.ii < self.n - cfg.REMOVAL_WINDOW)
+            self._remove((self.ii < self.n - cfg.REMOVAL_WINDOW)
+                         | (self.jj < self.n + 1 - (cfg.MEM - 6) + 1))
 
         # rng stream mirrors engine.make_step exactly
         key, key_sel = jax.random.split(self.rng)
