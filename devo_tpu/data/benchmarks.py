@@ -384,10 +384,19 @@ def load_intrinsics_tumvie(scenedir, camID=2):
     return np.asarray([c["fx"], c["fy"], c["cx"], c["cy"]], np.float32)
 
 
+def _check_traj(traj, path):
+    # sortedness asserts mirror the reference loaders (load_utils.py:607,
+    # 616): eval/ate.associate() searchsorts the GT stamps, so an unsorted
+    # file would silently pair poses with wrong timestamps
+    assert traj.ndim == 2 and traj.shape[1] == 8, \
+        f"{path}: expected (N, 8) [t x y z qx qy qz qw], got {traj.shape}"
+    assert np.all(np.diff(traj[:, 0]) >= 0), f"{path}: stamps not sorted"
+
+
 def load_eds_traj(path):
     """stamped GT in us, one header row (load_utils.py:573-581)."""
     traj = np.loadtxt(path, delimiter=" ", skiprows=1)
-    assert traj.shape[1] == 8
+    _check_traj(traj, path)
     return traj[:, 0].copy(), traj[:, 1:]
 
 
@@ -397,14 +406,14 @@ load_tumvie_traj = load_eds_traj     # identical format (load_utils.py:583)
 def load_ecd_gt(path, skiprows=0):
     """GT stamped in SECONDS -> us (load_utils.py:604-611)."""
     traj = np.loadtxt(path, delimiter=" ", skiprows=skiprows)
-    assert traj.shape[1] == 8
+    _check_traj(traj, path)
     return traj[:, 0].copy() * 1e6, traj[:, 1:]
 
 
 def load_gt_us(path, skiprows=0):
     """(load_utils.py:613-620)."""
     traj = np.loadtxt(path, delimiter=" ", skiprows=skiprows)
-    assert traj.shape[1] == 8
+    _check_traj(traj, path)
     return traj[:, 0].copy(), traj[:, 1:]
 
 
@@ -436,25 +445,38 @@ ITERATORS = {
 }
 
 
-def load_benchmark_gt(benchmark: str, datapath: str):
-    """Per-benchmark GT resolution (eval_*.py drivers): returns
-    (tss_us, traj (N, 7)). Falls back to the generic stamped file."""
+def load_benchmark_gt(benchmark: str, datapath: str, side: str = "left"):
+    """Per-benchmark GT resolution (the files each reference eval driver
+    loads): returns (tss_us, traj (N, 7)). Every candidate file is
+    MICROSECOND-stamped:
+      rpg    gt_stamped_{side}.txt   written in us by pp_rpg.py:16-18,
+                                     loaded with load_gt_us (NO unit
+                                     conversion, eval_rpg_evs.py:50)
+      vector poses_evs_{side}.txt    body->event-camera GT written by
+                                     pp_vector.py:66-69 (eval_vector_evs.py:42)
+      hku    gt_stamped_{side}.txt   eval_hku_evs.py:40
+      fpv    stamped_groundtruth_us_cam.txt  CAMERA-frame GT via T_cam_imu
+                                     (pp_fpv.py:19-43, eval_fpv_evs.py:55);
+                                     the body/IMU-frame file is a fallback
+                                     with the lever-arm caveat
+    Falls back to the generic stamped file."""
     b = benchmark.lower()
     if b == "mvsec":
-        return load_mvsec_traj(datapath)
+        return load_mvsec_traj(datapath, side=side)
     candidates = {
         "eds": ["stamped_groundtruth_us.txt"],
         "tumvie": ["mocap_data.txt", "stamped_groundtruth_us.txt"],
-        "rpg": ["gt_stamped_left.txt", "stamped_groundtruth_us.txt"],
-        "fpv": ["stamped_groundtruth_us.txt", "groundtruth.txt"],
-        "vector": ["gt_stamped_us.txt", "stamped_groundtruth_us.txt"],
-        "hku": ["gt_stamped_us.txt", "stamped_groundtruth_us.txt"],
+        "rpg": [f"gt_stamped_{side}.txt", "stamped_groundtruth_us.txt"],
+        "fpv": ["stamped_groundtruth_us_cam.txt",
+                "stamped_groundtruth_us.txt"],
+        "vector": [f"poses_evs_{side}.txt", "gt_stamped_us.txt",
+                   "stamped_groundtruth_us.txt"],
+        "hku": [f"gt_stamped_{side}.txt", "gt_stamped_us.txt",
+                "stamped_groundtruth_us.txt"],
     }.get(b, ["stamped_groundtruth_us.txt"])
     for c in candidates:
         p = osp.join(datapath, c)
         if osp.exists(p):
-            if b == "rpg" and c.startswith("gt_stamped"):
-                return load_ecd_gt(p)            # seconds-stamped
             skip = 1 if b in ("eds", "tumvie") else 0
             return load_gt_us(p, skiprows=skip)
     raise FileNotFoundError(f"no GT file under {datapath} "

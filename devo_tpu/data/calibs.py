@@ -198,6 +198,20 @@ def read_fpv_calib(calib_yaml: str) -> CamCalib:
                     model="fisheye", policy="balance0", size=(H, W))
 
 
+def read_fpv_T_cam_imu(calib_yaml: str):
+    """(4, 4) camera-from-IMU extrinsic from the kalibr camchain
+    (cam0["T_cam_imu"], /root/reference/scripts/pp_fpv.py get_calib_fpv) —
+    used to write the camera-frame GT the FPV eval scores against. Returns
+    None when the yaml carries no extrinsics."""
+    import yaml
+
+    with open(calib_yaml) as f:
+        data = yaml.safe_load(f)
+    cam = data["cam0"] if "cam0" in data else data
+    T = cam.get("T_cam_imu")
+    return None if T is None else np.asarray(T, np.float64).reshape(4, 4)
+
+
 def read_vector_calib(calib_yaml: str,
                       size: Tuple[int, int] = (480, 640)) -> CamCalib:
     """VECtor ROS-style intrinsic yaml (`0_calib/{side}_event_camera_

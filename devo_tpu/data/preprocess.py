@@ -54,6 +54,24 @@ def normalize_time_offsets(indir: str, tss_evs_us: np.ndarray,
     return offset_us, out
 
 
+def write_camera_frame_gt(gt_path: str, out_path: str, T_body_cam,
+                          skiprows: int = 0, tss_to_us: float = 1.0):
+    """Rewrite a [t x y z qx qy qz qw] body/IMU-frame GT file into the
+    camera frame: T_world_cam = T_world_body @ T_body_cam. This is the
+    transform behind the reference's stamped_groundtruth_us_cam.txt
+    (pp_fpv.py:19-43, T_body_cam = inv(T_cam_imu)) and poses_evs_{side}.txt
+    (pp_vector.py:52-69, T_body_cam = inv(T_camgray_body) @ T_camgray_camEvs).
+    Stamps are scaled to microseconds with `tss_to_us`."""
+    from devo_tpu.utils.pose_utils import (poses_hom_to_quat,
+                                           poses_quat_to_hom)
+    gt = np.loadtxt(gt_path, skiprows=skiprows)
+    T_wb = poses_quat_to_hom(gt[:, 1:8])
+    T_wc = T_wb @ np.asarray(T_body_cam, np.float64)[None]
+    out = np.concatenate([gt[:, :1] * tss_to_us, poses_hom_to_quat(T_wc)], 1)
+    np.savetxt(out_path, out, fmt="%.6f")
+    return out
+
+
 def new_camera_matrix(K: np.ndarray, dist: np.ndarray, H: int, W: int,
                       model: str = "radtan",
                       policy: str = "optimal0") -> np.ndarray:
@@ -120,6 +138,16 @@ def compute_rectify_map(K: np.ndarray, dist: np.ndarray, H: int, W: int,
         K_new = K
     if fisheye:
         und = cv2.fisheye.undistortPoints(coords, K, dist[:4], P=K_new)
+    elif hasattr(cv2, "undistortPointsIter"):
+        # the reference rectify maps use the ITERATIVE solve with a
+        # 100-iteration / 1e-3 termination criterion (load_utils.py:690-691,
+        # :1045-1046); plain undistortPoints runs 5 fixed iterations, which
+        # does not converge at the corners of strongly-distorted radtan
+        # cameras (ECD/RPG k1 ~ -0.34) and shifts the map by >1 px there
+        crit = (cv2.TERM_CRITERIA_MAX_ITER | cv2.TERM_CRITERIA_EPS,
+                100, 0.001)
+        und = cv2.undistortPointsIter(coords, K, dist, np.eye(3), K_new,
+                                      criteria=crit)
     else:
         und = cv2.undistortPoints(coords, K, dist, P=K_new)
     return und.reshape(H, W, 2).astype(np.float32)

@@ -53,8 +53,11 @@ def quat_to_rot(q: np.ndarray) -> np.ndarray:
     return R.reshape(q.shape[:-1] + (3, 3))
 
 
-def associate(t_est: np.ndarray, t_gt: np.ndarray, max_diff: float = 0.01):
-    """Nearest-timestamp association; returns index pairs (est_idx, gt_idx)."""
+def associate(t_est: np.ndarray, t_gt: np.ndarray, max_diff: float = 1.0):
+    """Nearest-timestamp association; returns index pairs (est_idx, gt_idx).
+    Default tolerance 1 s matches evo's sync.associate_trajectories call in
+    the reference metric path (eval_utils.py:296,354); t_gt must be sorted
+    (asserted by the GT loaders, as in the reference)."""
     gi = np.searchsorted(t_gt, t_est)
     gi = np.clip(gi, 1, len(t_gt) - 1)
     left = t_gt[gi - 1]
@@ -78,7 +81,7 @@ def ate_real(
     tss_est: np.ndarray,    # (N,) seconds
     traj_gt: np.ndarray,    # (M, 7)
     tss_gt: np.ndarray,     # (M,) seconds
-    max_diff: float = 0.01,
+    max_diff: float = 1.0,
     correct_scale: bool = True,
 ) -> TrajectoryMetrics:
     ei, gi = associate(tss_est, tss_gt, max_diff)
@@ -140,11 +143,17 @@ def rpe(
 
 
 def compute_median_results(results_per_trial):
-    """Median-over-trials aggregation (eval_utils.py:418-452)."""
+    """Median-over-trials aggregation (eval_utils.py:418-452). The reported
+    ATE is np.median over trials exactly (the reference's only aggregate);
+    mpe/r_rmse/scale come from the median-ATE trial (upper-middle for even
+    counts), so the returned metrics never disagree with the summary
+    tables."""
+    from dataclasses import replace
     arr = np.asarray([r.ate for r in results_per_trial])
     order = np.argsort(arr)
-    med = results_per_trial[order[len(order) // 2]]
-    return med, float(np.median(arr))
+    med_ate = float(np.median(arr))
+    med = replace(results_per_trial[order[len(order) // 2]], ate=med_ate)
+    return med, med_ate
 
 
 def compute_auc(all_ates_cm) -> float:

@@ -9,6 +9,7 @@ per-trial TUM trajectory dumps mirror log_results (eval_utils.py:315-415).
 from __future__ import annotations
 
 import os
+import sys
 import time
 from dataclasses import asdict
 from typing import Callable, Iterable, Optional
@@ -36,6 +37,13 @@ def run_voxel(cfg: VOConfig, params, iterator, ht: int, wd: int,
     for voxel, intrinsics, tss in iterator:
         if slam is None:
             H, W = voxel.shape[-2], voxel.shape[-1]
+            if (H, W) != (ht, wd):
+                # ht/wd size the COMPILED engine only through the voxels the
+                # iterator actually yields — a resize must happen in the
+                # iterator (e.g. tumvie_evs_iterator(H=, W=)), not here
+                print(f"[run_voxel] iterator yields {H}x{W} voxels; "
+                      f"caller asked {ht}x{wd} — tracking at {H}x{W}",
+                      file=sys.stderr)
             W_eff = W - 2 if W == 346 else W  # MVSEC crop (devo.py:466)
             # the key includes cfg: a cached engine keeps ITS config on
             # reset, so reusing across configs (e.g. run_voxel_norm_seq's
@@ -109,7 +117,7 @@ def evaluate_sequence(
     cfg: VOConfig, params, make_iterator: Callable[[], Iterable],
     traj_gt: np.ndarray, tss_gt: np.ndarray,
     trials: int = 1, ht: int = 480, wd: int = 640,
-    max_diff_s: float = 0.01, outdir: Optional[str] = None, name: str = "seq",
+    max_diff_s: float = 1.0, outdir: Optional[str] = None, name: str = "seq",
     engine_cache: Optional[dict] = None,
 ):
     """Seeded multi-trial evaluation; returns (median TrajectoryMetrics,

@@ -17,7 +17,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from devo_tpu.data.benchmarks import benchmark_evs_iterator, load_benchmark_gt
-from devo_tpu.data.loaders import BENCHMARK_RES, benchmark_iterator, load_tum_traj
+from devo_tpu.data.loaders import BENCHMARK_RES, benchmark_iterator
 from devo_tpu.eval.harness import evaluate_sequence
 from devo_tpu.runtime.config import EVAL_CONFIGS
 
@@ -54,21 +54,32 @@ def evaluate_benchmark(benchmark: str, args) -> dict:
         # preprocessed-tree iterator is its fallback
         try:
             tss_gt_us, traj_gt = load_benchmark_gt(benchmark, datapath)
-        except (FileNotFoundError, OSError):
-            tss_gt_us, traj_gt = load_tum_traj(
-                os.path.join(datapath, "stamped_groundtruth_us.txt"))
+        except (FileNotFoundError, OSError) as e:
+            # a scene without GT must not abort the benchmark and drop the
+            # already-computed scenes' results from the final JSON
+            print(f"[{benchmark}] {scene}: no ground truth ({e}); skipping",
+                  file=sys.stderr)
+            results[scene] = dict(error=str(e))
+            continue
+
+        # driver-pinned iterator settings the reference eval scripts hardcode
+        # (eval_tumvie_evs.py:39 passes dT_ms=25 — half the ~50 ms default
+        # the mean frame spacing would give at TUM-VIE's image rate)
+        it_kw = {"tumvie": {"dT_ms": 25}}.get(benchmark, {})
 
         def _make_iterator(dp=datapath, gt=tss_gt_us):
             # the quirk iterators are GENERATORS — their file I/O raises at
             # the first next(), not at call time — so probe one item before
-            # committing to them, then stitch it back on
+            # committing to them, then stitch it back on. Only missing-file
+            # errors fall back to the generic preprocessed-tree iterator:
+            # a data-sanity AssertionError inside a quirk iterator must
+            # surface, not silently swap windowing/hot-pixel semantics.
             import itertools
             try:
-                it = benchmark_evs_iterator(benchmark, dp,
-                                            stride=args.stride, tss_gt_us=gt)
+                it = benchmark_evs_iterator(benchmark, dp, stride=args.stride,
+                                            tss_gt_us=gt, **it_kw)
                 first = next(it)
-            except (FileNotFoundError, OSError, IndexError, AssertionError,
-                    StopIteration):
+            except (FileNotFoundError, OSError, StopIteration):
                 return benchmark_iterator(benchmark, dp, stride=args.stride)
             return itertools.chain([first], it)
 
@@ -89,7 +100,7 @@ def evaluate_benchmark(benchmark: str, args) -> dict:
     # reference's LaTeX-row table (eval_utils.py:418-450)
     from devo_tpu.eval.ate import aggregate_results
     results["_summary"] = aggregate_results(
-        {k: v["ate_trials"] for k, v in results.items()},
+        {k: v["ate_trials"] for k, v in results.items() if "ate_trials" in v},
         benchmark, outfolder=args.outdir)
     return results
 

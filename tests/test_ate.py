@@ -153,3 +153,17 @@ def test_aggregate_results(tmp_path):
                                0).mean())
     table = (tmp_path / "results_median_bench.txt").read_text()
     assert "sceneA & sceneB" in table and "Medians" in table
+
+
+def test_compute_median_results_even_count():
+    """The reported ATE is np.median over trials exactly — for even counts
+    the average of the middle two, matching the reference's np.median
+    aggregation (eval_utils.py:422) and aggregate_results' summary."""
+    from devo_tpu.eval.ate import TrajectoryMetrics, compute_median_results
+
+    trials = [TrajectoryMetrics(ate=a, mpe=0.1 * a, r_rmse=a, scale=1.0,
+                                n_pairs=10) for a in (1.0, 2.0, 4.0, 8.0)]
+    med, med_ate = compute_median_results(trials)
+    assert med_ate == pytest.approx(3.0)
+    assert med.ate == pytest.approx(3.0)       # never disagrees with summary
+    assert med.mpe == pytest.approx(0.4)       # upper-middle trial's fields

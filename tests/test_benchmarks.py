@@ -299,3 +299,79 @@ def test_gt_loader_formats(tmp_path):
     np.savetxt(p_s, rows_s)
     tss_e, _ = bm.load_ecd_gt(p_s)
     np.testing.assert_allclose(tss_e, np.arange(5) * 1e6)   # s -> us
+
+
+def test_gt_loaders_reject_unsorted(tmp_path):
+    # reference loaders assert sortedness (load_utils.py:607,616); ours must
+    # too — associate() searchsorts the GT stamps
+    rows = np.concatenate([np.array([3e6, 1e6, 2e6])[:, None],
+                           np.zeros((3, 6)), np.ones((3, 1))], 1)
+    p = os.path.join(str(tmp_path), "gt.txt")
+    np.savetxt(p, rows)
+    with pytest.raises(AssertionError):
+        bm.load_gt_us(p)
+
+
+def _write_gt(path, tss_us):
+    rows = np.concatenate([np.asarray(tss_us, np.float64)[:, None],
+                           np.zeros((len(tss_us), 6)),
+                           np.ones((len(tss_us), 1))], 1)
+    np.savetxt(path, rows)
+
+
+def test_load_benchmark_gt_routing(tmp_path):
+    """The candidate files each reference eval driver loads, all
+    microsecond-stamped with NO unit conversion (eval_rpg_evs.py:50,
+    eval_vector_evs.py:42, eval_hku_evs.py:40, eval_fpv_evs.py:55)."""
+    tss = np.arange(4, dtype=np.float64) * 1e6
+
+    rpg = tmp_path / "rpg"
+    rpg.mkdir()
+    _write_gt(str(rpg / "gt_stamped_left.txt"), tss)   # us (pp_rpg.py:16-18)
+    got, _ = bm.load_benchmark_gt("rpg", str(rpg))
+    np.testing.assert_allclose(got, tss)               # no double 1e6 scale
+
+    vec = tmp_path / "vector"
+    vec.mkdir()
+    _write_gt(str(vec / "poses_evs_left.txt"), tss)
+    got, _ = bm.load_benchmark_gt("vector", str(vec))
+    np.testing.assert_allclose(got, tss)
+
+    hku = tmp_path / "hku"
+    hku.mkdir()
+    _write_gt(str(hku / "gt_stamped_left.txt"), tss)
+    got, _ = bm.load_benchmark_gt("hku", str(hku))
+    np.testing.assert_allclose(got, tss)
+
+    # fpv prefers the CAMERA-frame GT when both exist
+    fpv = tmp_path / "fpv"
+    fpv.mkdir()
+    _write_gt(str(fpv / "stamped_groundtruth_us.txt"), tss)
+    _write_gt(str(fpv / "stamped_groundtruth_us_cam.txt"), tss + 7.0)
+    got, _ = bm.load_benchmark_gt("fpv", str(fpv))
+    np.testing.assert_allclose(got, tss + 7.0)
+
+
+def test_write_camera_frame_gt(tmp_path):
+    """T_world_cam = T_world_body @ T_body_cam (pp_fpv.py:19-43)."""
+    from devo_tpu.data.preprocess import write_camera_frame_gt
+    from devo_tpu.utils.pose_utils import poses_quat_to_hom
+
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((5, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    gt = np.concatenate([np.arange(5)[:, None] * 0.1,      # seconds
+                         rng.standard_normal((5, 3)), q], 1)
+    src = str(tmp_path / "gt.txt")
+    np.savetxt(src, gt)
+
+    T_body_cam = np.eye(4)
+    T_body_cam[:3, 3] = [0.1, -0.2, 0.3]
+    out_path = str(tmp_path / "gt_cam.txt")
+    write_camera_frame_gt(src, out_path, T_body_cam, tss_to_us=1e6)
+
+    out = np.loadtxt(out_path)
+    np.testing.assert_allclose(out[:, 0], np.arange(5) * 1e5, atol=1e-3)
+    T_wb = poses_quat_to_hom(gt[:, 1:8])
+    T_wc = poses_quat_to_hom(out[:, 1:8])
+    np.testing.assert_allclose(T_wc, T_wb @ T_body_cam[None], atol=1e-5)
