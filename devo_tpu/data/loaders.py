@@ -50,10 +50,20 @@ def load_rectify_map(path: str) -> np.ndarray:
         return np.asarray(f["rectify_map"])
 
 
+def load_intrinsics_txt(path: str) -> np.ndarray:
+    """Single-line 'fx fy cx cy' sidecar (calib_undist*.txt — the format
+    pp_hku.py:88 / pp_rpg.py:139 / preprocess.save_calib_undist_txt write)."""
+    v = np.loadtxt(path).reshape(-1)
+    return np.asarray(v[:4], np.float32)
+
+
 def load_tum_traj(path: str, tss_unit: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
     """TUM format: t x y z qx qy qz qw (one pose per line)."""
     data = np.loadtxt(path, comments="#")
     tss = data[:, 0] * tss_unit
+    # eval/ate.associate() searchsorts the GT stamps (same contract the
+    # reference loaders assert, load_utils.py:616)
+    assert np.all(np.diff(tss) >= 0), f"{path}: stamps not sorted"
     poses = data[:, 1:8].astype(np.float32)
     return tss, poses
 
@@ -112,18 +122,21 @@ def _seq_paths(indir: str, side: str = "left"):
         if os.path.exists(cand):
             ev = cand
             break
-    rect = None
-    for pat in (f"rectify_map_{side}.h5", "rectify_map_calib0.h5", "rectify_map.h5"):
-        cand = os.path.join(indir, pat)
-        if os.path.exists(cand):
-            rect = cand
-            break
-    calib = None
-    for pat in ("calib_undist.json", f"calib_undist_{side}.json", "calib.json"):
-        cand = os.path.join(indir, pat)
-        if os.path.exists(cand):
-            calib = cand
-            break
+    def first(*patterns):
+        # explicit preferred names first, then any suffixed sidecar the
+        # pp scripts write (rectify_map_calib1.h5, calib_undist_calib0.json,
+        # ... — suffix per dataset, preprocess.py `suffix=`)
+        for pat in patterns:
+            hits = sorted(glob.glob(os.path.join(indir, pat)))
+            if hits:
+                return hits[0]
+        return None
+
+    rect = first(f"rectify_map_{side}.h5", "rectify_map_calib0.h5",
+                 "rectify_map.h5", "rectify_map*.h5")
+    calib = first("calib_undist.json", f"calib_undist_{side}.json",
+                  "calib.json", "calib_undist*.json", "calib_undist.txt",
+                  f"calib_undist_{side}.txt", "calib_undist*.txt")
     return ev, rect, calib
 
 
@@ -134,8 +147,20 @@ def make_evs_iterator(indir: str, H: int, W: int, side: str = "left",
     ev, rect, calib = _seq_paths(indir, side)
     if ev is None:
         raise FileNotFoundError(f"no events h5 under {indir}")
-    intr = load_intrinsics_json(calib) if calib else None
+    if calib is None:
+        # the engine cannot track without intrinsics — fail at setup, not
+        # deep inside the first jitted step
+        raise FileNotFoundError(
+            f"no calib_undist sidecar under {indir} (run scripts/pp_*.py)")
+    intr = (load_intrinsics_txt(calib) if calib.endswith(".txt")
+            else load_intrinsics_json(calib))
     rect_map = load_rectify_map(rect) if rect else None
+    if rect_map is None:
+        # legitimate for simulated/pre-rectified trees, but silent on a raw
+        # distorted sequence it means garbage tracking — say so once
+        import sys
+        print(f"[loaders] {indir}: no rectify_map*.h5 — assuming events are "
+              "already rectified", file=sys.stderr)
 
     ts_file = os.path.join(indir, "images_timestamps_us.txt")
     if os.path.exists(ts_file):

@@ -16,23 +16,48 @@ from typing import Iterator, Optional, Tuple
 import numpy as np
 
 
-def _producer(iterator, q: "queue.Queue"):
-    for item in iterator:
-        q.put(item)
-    q.put(None)
+def _producer(iterator, q: "queue.Queue", stop: "threading.Event"):
+    # ALWAYS terminate the queue: an iterator error must surface in the
+    # consumer (re-raised below), not strand it on q.get() forever. The
+    # bounded put()s poll `stop` so a consumer that exits early (gen.close /
+    # GC) releases the thread instead of leaving it blocked on a full queue.
+    def put(item):
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    try:
+        for item in iterator:
+            if not put(item):
+                return
+        put(None)
+    except BaseException as e:  # noqa: BLE001 — relayed, not swallowed
+        put(e)
 
 
 def buffered(iterator, maxsize: int = 8) -> Iterator:
     """Wrap any (ts, data, intrinsics) iterator with a prefetch thread
-    (mirrors the reference's multiprocessing readers, load_utils.py:119-131)."""
+    (mirrors the reference's multiprocessing readers, load_utils.py:119-131).
+    Iterator exceptions propagate to the consumer."""
     q: "queue.Queue" = queue.Queue(maxsize=maxsize)
-    t = threading.Thread(target=_producer, args=(iterator, q), daemon=True)
+    stop = threading.Event()
+    t = threading.Thread(target=_producer, args=(iterator, q, stop),
+                         daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is None:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def image_stream(imagedir: str, calib: np.ndarray, stride: int = 1,
@@ -73,9 +98,15 @@ def video_stream(videofile: str, calib: np.ndarray, stride: int = 1,
 
 
 def rosbag_event_stream(bagfile: str, topic: str, H: int, W: int,
+                        intrinsics: np.ndarray,
                         window_us: float = 1e4, bins: int = 5):
     """Rosbag event streamer (utils/bag_utils.py analog) — requires the
-    optional `rosbags` package; voxelizes fixed-duration event windows."""
+    optional `rosbags` package; voxelizes fixed-duration event windows.
+
+    Yields (voxel (bins, H, W), intrinsics (4,), timestamp_s) — the same
+    tuple order every engine-facing iterator uses (eval/harness.run_voxel
+    unpacks `voxel, intrinsics, tss`). The tail window (shorter than
+    window_us) is flushed at end-of-bag."""
     try:
         from rosbags.highlevel import AnyReader
         from pathlib import Path
@@ -83,6 +114,15 @@ def rosbag_event_stream(bagfile: str, topic: str, H: int, W: int,
         raise ImportError("rosbag streaming requires the 'rosbags' package") from e
 
     from .event_utils import to_voxel_grid
+
+    intr = np.asarray(intrinsics, np.float32)[:4]
+
+    def flush(buf_x, buf_y, buf_t, buf_p, t0):
+        vox = to_voxel_grid(np.asarray(buf_x, np.float32),
+                            np.asarray(buf_y, np.float32),
+                            np.asarray(buf_t, np.int64),
+                            np.asarray(buf_p, np.int8), H, W, bins)
+        return vox, intr, t0 / 1e6
 
     with AnyReader([Path(bagfile)]) as reader:
         conns = [c for c in reader.connections if c.topic == topic]
@@ -99,10 +139,8 @@ def rosbag_event_stream(bagfile: str, topic: str, H: int, W: int,
                 buf_t.append(tus)
                 buf_p.append(1 if ev.polarity else -1)
                 if tus - t0 >= window_us:
-                    vox = to_voxel_grid(np.asarray(buf_x, np.float32),
-                                        np.asarray(buf_y, np.float32),
-                                        np.asarray(buf_t, np.int64),
-                                        np.asarray(buf_p, np.int8), H, W, bins)
-                    yield t0 / 1e6, vox, None
+                    yield flush(buf_x, buf_y, buf_t, buf_p, t0)
                     buf_x, buf_y, buf_t, buf_p = [], [], [], []
                     t0 = None
+        if buf_x:
+            yield flush(buf_x, buf_y, buf_t, buf_p, t0)

@@ -73,10 +73,12 @@ def validate_tartan_evs(
         try:
             poses, tss_est, _fps = run_voxel(cfg, params, it(), ht, wd,
                                              engine_cache=engine_cache)
-        except RuntimeError as e:
-            # a silently skipped scene would make val/ate_mean look better
-            # over an unannounced subset — record the failure loudly
-            print(f"[val] scene {name} FAILED: {e}")
+        except Exception as e:  # noqa: BLE001 — validation must not kill a
+            # 100k-step training run: IO errors (OSError/FileNotFoundError
+            # from h5py) are as likely as RuntimeError here. A silently
+            # skipped scene would make val/ate_mean look better over an
+            # unannounced subset — record the failure loudly instead.
+            print(f"[val] scene {name} FAILED: {type(e).__name__}: {e}")
             metrics[f"val/{name}/failed"] = 1.0
             continue
         m = ate_real(poses, tss_est, gt, tss, max_diff=0.5)

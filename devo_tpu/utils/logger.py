@@ -47,3 +47,20 @@ class Logger:
 
     def write_dict(self, metrics: Dict[str, float]):
         self._write(metrics, self.total_steps)
+
+    def close(self):
+        """Flush tail metrics: SummaryWriter's event writer only flushes
+        every flush_secs (120 s default), so a run that exits without this
+        can lose its final scalars — including the last validation ATE."""
+        if self._writer is not None:
+            self._writer.flush()
+            self._writer.close()
+        elif getattr(self, "_jsonl", None) is not None:
+            self._jsonl.close()
+            self._jsonl = None
+
+    def __del__(self):  # best-effort on interpreter exit / crash paths
+        try:
+            self.close()
+        except Exception:
+            pass

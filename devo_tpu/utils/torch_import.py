@@ -89,8 +89,14 @@ def _set_nested(tree: Dict, path: str, leaf: str, value):
     node[leaf] = value
 
 
-def convert_state_dict(state_dict) -> Dict:
-    """torch state_dict (tensors or numpy) -> flax params dict."""
+def convert_state_dict(state_dict, strict: bool = False) -> Dict:
+    """torch state_dict (tensors or numpy) -> flax params dict.
+
+    strict=True (the full-checkpoint path, load_checkpoint) raises when any
+    mapped weight other than the optional downsample convs is absent — a
+    truncated/mismatched DEVO.pth must fail at import time, not as an opaque
+    flax merge error later. strict=False converts partial dicts (module-
+    level parity tests)."""
     sd = {}
     for k, v in state_dict.items():
         if "update.lmbda" in k:
@@ -101,10 +107,17 @@ def convert_state_dict(state_dict) -> Dict:
     mapping = build_mapping()
     params: Dict = {}
     used = set()
+    missing = []
     for tkey, (fpath, kind) in mapping.items():
         wk, bk = tkey + ".weight", tkey + ".bias"
         if wk not in sd:
-            continue  # e.g. downsample only exists on strided blocks
+            # only the downsample convs are legitimately absent (they exist
+            # solely on strided residual blocks); any other mapped weight
+            # missing means a truncated/mismatched checkpoint — fail loudly
+            # here, not as an opaque flax merge error later
+            if "downsample" not in tkey:
+                missing.append(wk)
+            continue
         used.add(wk)
         if kind == "conv":
             _set_nested(params, fpath, "kernel", _conv(sd[wk]))
@@ -116,6 +129,10 @@ def convert_state_dict(state_dict) -> Dict:
             used.add(bk)
             _set_nested(params, fpath, "bias", _arr(sd[bk]))
 
+    if missing and strict:
+        raise ValueError(f"checkpoint is missing mapped weights: "
+                         f"{missing[:10]}"
+                         f"{'...' if len(missing) > 10 else ''}")
     leftover = [k for k in sd if k not in used]
     if leftover:
         raise ValueError(f"unmapped torch keys: {leftover[:10]}"
@@ -129,4 +146,4 @@ def load_checkpoint(path: str) -> Dict:
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if "model_state_dict" in ckpt:
         ckpt = ckpt["model_state_dict"]
-    return convert_state_dict(ckpt)
+    return convert_state_dict(ckpt, strict=True)

@@ -62,8 +62,10 @@ def plot_trajectory(path: str, poses_est: np.ndarray,
     plt.close(fig)
 
 
-def save_flow_visualization(outdir: str, flow_data: Dict):
-    """Per-frame patch-flow overlays (viz_utils.py:698-774 spirit)."""
+def save_flow_visualization(outdir: str, flow_data: Dict, scale: float = 4.0):
+    """Per-frame patch-flow overlays (viz_utils.py:698-774 spirit): draw the
+    reprojections TARGETING this frame (jj == frame), scaled from feature
+    (1/4) to image resolution like viz_flow_inference."""
     import os
     os.makedirs(outdir, exist_ok=True)
     for t, rec in flow_data.items():
@@ -73,13 +75,14 @@ def save_flow_visualization(outdir: str, flow_data: Dict):
         img = np.asarray(img)
         if img.ndim == 3 and img.shape[0] <= 8:   # raw (bins, H, W) voxel
             img = render_voxel(img)
-        coords = np.asarray(rec["coords_est"])[..., 1, 1, :]
-        out = draw_patches(img, coords)
-        try:
-            import cv2
-            cv2.imwrite(os.path.join(outdir, f"{t:06d}.png"), out[..., ::-1])
-        except Exception:
-            pass
+        c = np.asarray(rec["coords_est"])
+        ctr = (c[..., c.shape[-3] // 2, c.shape[-2] // 2, :]
+               if c.ndim >= 4 else c)             # patch center, any P
+        jj = np.asarray(rec.get("jj", []))
+        if jj.size == ctr.shape[0]:
+            ctr = ctr[jj == int(t)]               # only edges into frame t
+        out = draw_patches(img, ctr.reshape(-1, 2) * scale)
+        _imwrite(os.path.join(outdir, f"{int(t):06d}.png"), out)
 
 
 def render_events(x: np.ndarray, y: np.ndarray, pol: np.ndarray,
@@ -99,18 +102,20 @@ def render_events(x: np.ndarray, y: np.ndarray, pol: np.ndarray,
 
 
 def save_voxels(voxels, outdir: str, eps: float = 1e-3, prefix: str = "vox"):
-    """Render a batch of voxels to PNG files (viz_utils.py:666-728
-    visualize_voxel / visualize_N_voxels, headless form)."""
+    """Render voxels to PNG files (viz_utils.py:666-728 visualize_voxel /
+    visualize_N_voxels, headless form): one image per VOXEL (bins summed),
+    for (bins, H, W) single input or (N, bins, H, W) batches."""
     import os
 
     os.makedirs(outdir, exist_ok=True)
+    vox = np.asarray(voxels)
+    if vox.ndim == 2:                              # single-bin (H, W)
+        vox = vox[None]
+    batch = vox[None] if vox.ndim == 3 else vox    # -> (N, bins, H, W)
     paths = []
-    for i, v in enumerate(np.atleast_3d(np.asarray(voxels)).reshape(
-            -1, *np.asarray(voxels).shape[-2:]) if np.asarray(voxels).ndim > 3
-            else [np.asarray(voxels)]):
-        img = render_voxel(v if v.ndim == 3 else v[None], eps=eps)
+    for i, v in enumerate(batch):
         p = os.path.join(outdir, f"{prefix}_{i:04d}.png")
-        _imwrite(p, img)
+        _imwrite(p, render_voxel(v, eps=eps))
         paths.append(p)
     return paths
 

@@ -43,8 +43,11 @@ def eval_orb3(datadir: str, evaldir: str, orb3home: str = "",
         for trial, fn in enumerate(estfiles):
             est = np.loadtxt(fn, delimiter=" ")
             tss_est_s, traj_est = est[:, 0] / 1e9, est[:, 1:8]
+            # same 1 s association tolerance as the DEVO metric path (evo
+            # sync.associate max_diff=1, eval_utils.py:354) — the baseline
+            # must be scored on the same pair set to be comparable
             m = ate_real(traj_est.astype(np.float32), tss_est_s,
-                         traj_gt.astype(np.float32), tss_gt_s, max_diff=0.05)
+                         traj_gt.astype(np.float32), tss_gt_s, max_diff=1.0)
             trial_metrics.append(m)
             plot_trajectory(
                 osp.join(evaldir, f"{seqname}_trial{trial}.png"),

@@ -181,10 +181,6 @@ def main():
             prof_open = False
             print(f"profile trace written to {prof_dir}")
 
-    if prof_open:   # run ended inside the trace window: flush, don't corrupt
-        jax.profiler.stop_trace()
-        print(f"profile trace written to {prof_dir}")
-
         if (step + 1) % args.ckpt_every == 0:
             path = os.path.abspath(
                 os.path.join(args.ckpt_dir, args.name, f"{step + 1:06d}"))
@@ -192,6 +188,11 @@ def main():
             print(f"saved {path}")
         if args.eval_every and (step + 1) % args.eval_every == 0:
             run_validation(step + 1)
+
+    if prof_open:   # run ended inside the trace window: flush, don't corrupt
+        jax.profiler.stop_trace()
+        print(f"profile trace written to {prof_dir}")
+    logger.close()  # flush tail metrics (SummaryWriter flushes every 120 s)
 
 
 if __name__ == "__main__":
