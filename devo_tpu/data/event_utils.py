@@ -54,6 +54,10 @@ class EventSlicer:
         t_end_us -= self.t_offset
 
         t_start_ms, t_end_ms = self.get_conservative_window_ms(t_start_us, t_end_us)
+        # windows starting before the stream's t_offset clamp to stream
+        # start (reference event_utils.py:70) — common for the first EDS
+        # image stamps; without this ms2idx's time_ms >= 0 assert fires
+        t_start_ms = max(t_start_ms, 0)
         t_start_ms_idx = self.ms2idx(t_start_ms)
         t_end_ms_idx = self.ms2idx(t_end_ms)
         if t_start_ms_idx is None or t_end_ms_idx is None:
@@ -159,12 +163,15 @@ def to_voxel_grid(
 
 
 def remove_hot_pixels_voxel(vox: np.ndarray, num_stds: float = 10.0) -> np.ndarray:
-    """Zero out pixels whose |sum over bins| deviates > num_stds sigma
-    (event_utils.py:235-261)."""
-    img = np.abs(vox).sum(0)
-    mean = img.mean()
-    std = img.std()
-    hot = img > mean + num_stds * std
-    out = vox.copy()
-    out[:, hot] = 0.0
+    """Zero ELEMENTS whose |value| exceeds mean + num_stds * std of the raw
+    SIGNED voxel (event_utils.py:243-260: the reference thresholds each
+    (bin, y, x) element against the statistics of the signed flattened
+    voxel and zeroes elements individually — not whole pixels against
+    bin-sum statistics, which selects a substantially different hot set).
+    std is the unbiased (ddof=1) estimate like torch.std."""
+    v = np.asarray(vox)
+    mean = v.mean()
+    std = v.std(ddof=1) if v.size > 1 else 0.0
+    out = v.copy()
+    out[np.abs(v) > mean + num_stds * std] = 0.0
     return out

@@ -65,14 +65,20 @@ class RGBDAugmentor:
         self.rng = rng or np.random.default_rng()
 
     def color_transform(self, images: np.ndarray) -> np.ndarray:
+        # stored order is BGR (image_read == base.py:73); the jitter math
+        # runs in RGB like the reference and swaps back at the end
+        # (augmentation.py:68-69)
+        images = images[..., ::-1]
         r = self.rng
         # ColorJitter(brightness=.4, contrast=.4, saturation=.4, hue=.2/pi)
         ops = []
         b = r.uniform(0.6, 1.4)
         ops.append(lambda im: _blend(im, np.zeros(()), b))
         c = r.uniform(0.6, 1.4)
-        ops.append(lambda im: _blend(
-            im, _rgb_to_gray(im).mean(axis=(-2, -1))[:, None, None, None], c))
+        # contrast blends against ONE gray mean shared by the whole clip:
+        # the reference concatenates the clip into a single wide image
+        # before torchvision's adjust_contrast (augmentation.py:67-69)
+        ops.append(lambda im: _blend(im, _rgb_to_gray(im).mean(), c))
         s = r.uniform(0.6, 1.4)
         ops.append(lambda im: _blend(im, _rgb_to_gray(im)[..., None], s))
         h = r.uniform(-0.2 / np.pi, 0.2 / np.pi)
@@ -84,7 +90,7 @@ class RGBDAugmentor:
             images = np.repeat(_rgb_to_gray(images)[..., None], 3, axis=-1)
         if r.random() < 0.1:  # RandomInvert
             images = 255.0 - images
-        return images.astype(np.float32)
+        return images[..., ::-1].astype(np.float32)
 
     def spatial_transform(self, images, depths, intrinsics):
         ht, wd = images.shape[1:3]
@@ -120,10 +126,13 @@ class RGBDAugmentor:
 # ------------------------------------------------------------------- datasets
 
 def image_read(image_file: str) -> np.ndarray:
-    """RGB channel-last float32 in [0, 255] (tartan.py:66-67 reads BGR;
-    the reference's jitter path swaps to RGB, augmentation.py:68)."""
-    bgr = cv2.imread(image_file)
-    return bgr[..., ::-1].astype(np.float32)
+    """BGR channel-last float32 in [0, 255] — the order the NETWORK consumes
+    in the reference (base.py:73 cv2.imread feeds BGR straight through; the
+    jitter path swaps to RGB only internally and swaps back,
+    augmentation.py:68-69). Weight-imported RGB models expect BGR input."""
+    img = cv2.imread(image_file)
+    assert img is not None, f"unreadable image {image_file}"
+    return img.astype(np.float32)
 
 
 class TartanAirRGB(TartanAirEVS):

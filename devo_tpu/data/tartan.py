@@ -55,18 +55,11 @@ def _pose_mul(a, b):
     return np.concatenate([t, q], -1)
 
 
-def induced_flow_mag(poses_w2c, disps, intrinsics, i, j):
-    """Mean induced-flow magnitude i -> j over the dense (downsampled) grid
-    (data_readers/projective_ops.py:98-140). Returns (mag, valid_frac)."""
-    H, W = disps.shape[1:]
+def _flow_mag(X0, x, y, Gij, intrinsics):
+    """Mean induced-flow magnitude for ONE direction given the source
+    frame's precomputed back-projection X0 (..., 4) and the relative pose
+    Gij (data_readers/projective_ops.py:98-140). Returns (mag, valid_frac)."""
     fx, fy, cx, cy = intrinsics
-    y, x = np.mgrid[0:H, 0:W].astype(np.float32)
-    d = disps[i]
-    X0 = np.stack([(x - cx) / fx, (y - cy) / fy, np.ones_like(d), d], -1)
-
-    Gij = _pose_mul(poses_w2c[j], _pose_inv(poses_w2c[i]))
-    if i == j:
-        Gij = np.asarray([-0.1, 0, 0, 0, 0, 0, 1.0], np.float32)
     Xr = _quat_rot(Gij[3:7][None, None], X0[..., :3]) + Gij[:3][None, None] * X0[..., 3:4]
     Z = Xr[..., 2]
     zi = 1.0 / np.maximum(Z, 0.1)
@@ -82,19 +75,52 @@ def induced_flow_mag(poses_w2c, disps, intrinsics, i, j):
     return float((mag * valid).sum() / valid.sum()), float(vfrac)
 
 
+def _backproject_all(disps, intrinsics):
+    """Per-frame pinhole back-projection (N, H, W, 4), hoisted out of the
+    O(N^2) pair loop."""
+    N, H, W = disps.shape
+    fx, fy, cx, cy = intrinsics
+    y, x = np.mgrid[0:H, 0:W].astype(np.float32)
+    X0 = np.empty((N, H, W, 4), np.float32)
+    X0[..., 0] = (x - cx) / fx
+    X0[..., 1] = (y - cy) / fy
+    X0[..., 2] = 1.0
+    X0[..., 3] = disps
+    return X0, x, y
+
+
+def induced_flow_mag(poses_w2c, disps, intrinsics, i, j):
+    """One-pair convenience wrapper (kept for tests/direct use)."""
+    X0, x, y = _backproject_all(disps, intrinsics)
+    Gij = (_pose_mul(poses_w2c[j], _pose_inv(poses_w2c[i])) if i != j
+           else np.asarray([-0.1, 0, 0, 0, 0, 0, 1.0], np.float32))
+    return _flow_mag(X0[i], x, y, Gij, intrinsics)
+
+
 def compute_distance_matrix_flow(poses_c2w, disps, intrinsics):
-    """All-pairs bidirectional flow distance (rgbd_utils.py:104-142)."""
+    """All-pairs bidirectional flow distance (rgbd_utils.py:104-142).
+
+    d[i, j] = (mag(i->j) + mag(j->i)) / 2 is symmetric by construction, so
+    only the upper triangle is evaluated and mirrored, with the per-frame
+    back-projection hoisted — 4x fewer dense flow evaluations than the
+    reference's full ordered-pair loop for identical values."""
     N = poses_c2w.shape[0]
     poses_w2c = _pose_inv(poses_c2w)
+    X0, x, y = _backproject_all(disps, intrinsics)
+    G_self = np.asarray([-0.1, 0, 0, 0, 0, 0, 1.0], np.float32)
     d = np.zeros((N, N), np.float32)
     for i in range(N):
-        for j in range(N):
-            m1, v1 = induced_flow_mag(poses_w2c, disps, intrinsics, i, j)
-            m2, v2 = induced_flow_mag(poses_w2c, disps, intrinsics, j, i)
-            if min(v1, v2) < 0.7:
-                d[i, j] = np.inf
-            else:
-                d[i, j] = 0.5 * (m1 + m2)
+        m, v = _flow_mag(X0[i], x, y, G_self, intrinsics)
+        d[i, i] = np.inf if v < 0.7 else m
+        inv_i = _pose_inv(poses_w2c[i])
+        for j in range(i + 1, N):
+            m1, v1 = _flow_mag(X0[i], x, y,
+                               _pose_mul(poses_w2c[j], inv_i), intrinsics)
+            m2, v2 = _flow_mag(X0[j], x, y,
+                               _pose_mul(poses_w2c[i], _pose_inv(poses_w2c[j])),
+                               intrinsics)
+            val = np.inf if min(v1, v2) < 0.7 else 0.5 * (m1 + m2)
+            d[i, j] = d[j, i] = val
     return d
 
 
@@ -137,6 +163,17 @@ def _bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return top * (1 - wy[..., :, None]) + bot * wy[..., :, None]
 
 
+def _nearest_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """F.interpolate(mode='nearest') resize of (..., H, W) — the mode the
+    reference uses for DEPTHS (augmentation.py:135, default mode): bilinear
+    blending at depth discontinuities would invent 'flying pixel' values
+    that lie on no real surface."""
+    H, W = img.shape[-2:]
+    ys = np.minimum((np.arange(out_h) * H // out_h), H - 1)
+    xs = np.minimum((np.arange(out_w) * W // out_w), W - 1)
+    return img[..., ys, :][..., :, xs]
+
+
 class EVSDAugmentor:
     """Voxel value jitter + random rescale + center crop
     (augmentation.py:92-174)."""
@@ -159,7 +196,7 @@ class EVSDAugmentor:
 
         nh, nw = int(round(ht * scale)), int(round(wd * scale))
         voxels = _bilinear_resize(voxels, nh, nw).astype(np.float32)
-        depths = _bilinear_resize(depths, nh, nw).astype(np.float32)
+        depths = _nearest_resize(depths, nh, nw).astype(np.float32)
         intrinsics = intrinsics * scale
 
         y0 = (nh - self.crop_size[0]) // 2
@@ -185,8 +222,14 @@ def voxel_read(voxel_file: str) -> np.ndarray:
 
 
 def pose_read(scene: str) -> np.ndarray:
-    poses = np.loadtxt(osp.join(scene.replace("evs_left", "image_left"),
-                                "pose_left.txt"), delimiter=" ")[1:]
+    # restructured tree (<difficulty>/image_left/<traj>/pose_left.txt,
+    # the reference layout) or an in-place conversion over a raw TartanAir
+    # tree (<traj>/pose_left.txt next to image_left/, scripts/convert_tartan)
+    cands = [osp.join(scene.replace("evs_left", "image_left"),
+                      "pose_left.txt"),
+             osp.join(osp.dirname(scene), "pose_left.txt")]
+    path = next((p for p in cands if osp.exists(p)), cands[0])
+    poses = np.loadtxt(path, delimiter=" ")[1:]
     poses = poses[:, [1, 2, 0, 4, 5, 3, 6]]     # NED -> camera frame (tartan.py:174)
     poses[:, :3] /= DEPTH_SCALE
     return poses.astype(np.float32)
@@ -246,11 +289,24 @@ class TartanAirEVS:
         scenes = [osp.dirname(s) for s in scenes]
         for scene in scenes:
             voxels = sorted(glob.glob(osp.join(scene, "h5/*.h5")))
+            # restructured layout first (reference tartan.py:158), then an
+            # in-place conversion over a raw tree (<traj>/depth_left/*.npy)
             depths = sorted(glob.glob(osp.join(
-                scene.replace("evs_left", "depth_left"), "depth_left/*.npy")))[1:]
+                scene.replace("evs_left", "depth_left"), "depth_left/*.npy")))
+            if not depths:
+                depths = sorted(glob.glob(osp.join(
+                    osp.dirname(scene), "depth_left", "*.npy")))
+            depths = depths[1:]   # no event voxel at t=0 (tartan.py:158)
             if not voxels or len(voxels) != len(depths):
+                if voxels:
+                    print(f"[tartan] skipping {scene}: {len(voxels)} voxels "
+                          f"vs {len(depths)} depths")
                 continue
             poses = pose_read(scene)
+            # truncated/mismatched pose files must fail here, not as an
+            # IndexError mid-training (reference asserts, tartan.py:176)
+            assert poses.shape[0] == len(voxels), \
+                f"{scene}: {poses.shape[0]} poses vs {len(voxels)} voxels"
             intr = [TARTAN_INTRINSICS] * len(voxels)
             graph = build_frame_graph(poses, depths, TARTAN_INTRINSICS,
                                       depth_read=depth_read)

@@ -134,7 +134,10 @@ def remove_hot_pixels(vox: np.ndarray, num_stds: float = 10.0) -> np.ndarray:
     if lib is None:
         from devo_tpu.data.event_utils import remove_hot_pixels_voxel
         return remove_hot_pixels_voxel(vox, num_stds)
-    vox = np.ascontiguousarray(vox, np.float32)
+    # always copy: the C++ filters in place, and for an already-contiguous
+    # f32 input ascontiguousarray would alias the CALLER's array — the
+    # NumPy fallback never mutates its input, and the two must agree
+    vox = np.array(vox, np.float32, order="C", copy=True)
     lib.remove_hot_pixels(_cptr(vox, ctypes.c_float), vox.shape[0],
                           vox.shape[1], vox.shape[2], num_stds)
     return vox

@@ -83,25 +83,24 @@ void window_offsets(const int64_t* t, int64_t n, int64_t t_start,
   *hi = std::lower_bound(t, t + n, t_end) - t;
 }
 
-// Zero pixels whose |sum over bins| exceeds mean + num_stds * std.
+// Zero ELEMENTS whose |value| exceeds mean + num_stds * std of the raw
+// signed voxel (reference event_utils.py:243-260 semantics: per-element
+// threshold against signed flattened statistics; std unbiased like
+// torch.std).
 void remove_hot_pixels(float* vox, int bins, int H, int W, float num_stds) {
-  const int64_t plane = static_cast<int64_t>(H) * W;
+  const int64_t n = static_cast<int64_t>(bins) * H * W;
+  if (n < 2) return;
   double sum = 0.0, sum2 = 0.0;
-  for (int64_t px = 0; px < plane; ++px) {
-    float a = 0.0f;
-    for (int b = 0; b < bins; ++b) a += std::fabs(vox[b * plane + px]);
-    sum += a;
-    sum2 += static_cast<double>(a) * a;
+  for (int64_t i = 0; i < n; ++i) {
+    sum += vox[i];
+    sum2 += static_cast<double>(vox[i]) * vox[i];
   }
-  const double mean = sum / plane;
-  const double var = std::max(sum2 / plane - mean * mean, 0.0);
+  const double mean = sum / n;
+  const double var =
+      std::max((sum2 - sum * sum / n) / (n - 1), 0.0);  // ddof = 1
   const double thresh = mean + num_stds * std::sqrt(var);
-  for (int64_t px = 0; px < plane; ++px) {
-    float a = 0.0f;
-    for (int b = 0; b < bins; ++b) a += std::fabs(vox[b * plane + px]);
-    if (a > thresh) {
-      for (int b = 0; b < bins; ++b) vox[b * plane + px] = 0.0f;
-    }
+  for (int64_t i = 0; i < n; ++i) {
+    if (std::fabs(vox[i]) > thresh) vox[i] = 0.0f;
   }
 }
 

@@ -4,7 +4,11 @@ Counterpart of /root/reference/scripts/convert_tartan.py: reads each scene's
 image_left frames + timestamps, runs the ESIM contrast-threshold simulator
 (contrast sampled U(0.16, 0.34) per sequence, convert_tartan.py:199-216),
 splits the event stream at the original frame timestamps and writes one
-float16 'voxel' h5 per interval under <scene>/evs_left/h5/.
+float16 'voxel' h5 per interval under <scene>/evs_left/h5/ — an IN-PLACE
+conversion of a raw TartanAir trajectory dir (<scene> contains image_left/,
+depth_left/, pose_left.txt). devo_tpu.data.tartan.TartanAirEVS reads both
+this layout and the reference's restructured modality-first tree
+(<difficulty>/evs_left/<traj>/h5).
 
 Usage: python scripts/convert_tartan.py --scenes <scene_dir> [...] [--fps 100]
 """
@@ -42,11 +46,14 @@ def convert_sequence(scene: str, fps: float, seed: int):
         return
     outdir = os.path.join(scene, "evs_left", "h5")
     os.makedirs(outdir, exist_ok=True)
+    n = 0
     for i, (vox, t_us) in enumerate(
             simulate_sequence(frame_iter(img_files, fps), seed=seed)):
         with h5py.File(os.path.join(outdir, f"{i:06d}.h5"), "w") as f:
             f.create_dataset("voxel", data=vox, dtype="float16")
-    print(f"{scene}: wrote {i + 1} voxels")
+        n += 1
+    # a single-image scene yields zero inter-frame intervals -> n == 0
+    print(f"{scene}: wrote {n} voxels")
 
 
 def main():

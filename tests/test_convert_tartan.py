@@ -1,0 +1,78 @@
+"""convert_tartan.py output must be loadable by TartanAirEVS.
+
+The converter simulates events IN PLACE over a raw TartanAir trajectory dir
+(<traj>/{image_left, depth_left, pose_left.txt} + evs_left/h5); the dataset
+also reads the reference's restructured modality-first tree. Both layouts
+are exercised here.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+h5py = pytest.importorskip("h5py")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from devo_tpu.data.tartan import TartanAirEVS  # noqa: E402
+
+N = 8
+H, W = 32, 40
+
+
+def _write_raw_scene(scene):
+    """Raw TartanAir trajectory layout (no evs_left yet)."""
+    os.makedirs(os.path.join(scene, "image_left"))
+    os.makedirs(os.path.join(scene, "depth_left"))
+    rng = np.random.default_rng(0)
+    img = (rng.random((H, W)) * 255).astype(np.uint8)
+    poses = []
+    for i in range(N):
+        img = np.roll(img, 3, axis=1)            # guaranteed brightness change
+        cv2.imwrite(os.path.join(scene, "image_left", f"{i:06d}_left.png"), img)
+        np.save(os.path.join(scene, "depth_left", f"{i:06d}_left_depth.npy"),
+                np.full((H, W), 5.0, np.float32))
+        poses.append([0.05 * i, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0])  # NED xyz+quat
+    np.savetxt(os.path.join(scene, "pose_left.txt"), np.asarray(poses))
+
+
+def test_converter_output_loads_in_dataset(tmp_path):
+    scene = os.path.join(str(tmp_path), "Env", "Easy", "P001")
+    _write_raw_scene(scene)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from convert_tartan import convert_sequence
+
+    convert_sequence(scene, fps=100.0, seed=0)
+
+    h5s = sorted(os.listdir(os.path.join(scene, "evs_left", "h5")))
+    assert len(h5s) == N - 1                     # one voxel per interval
+    with h5py.File(os.path.join(scene, "evs_left", "h5", h5s[0]), "r") as f:
+        assert f["voxel"].shape[0] == 5          # 5 bins
+
+    ds = TartanAirEVS(str(tmp_path), n_frames=3, fmin=0.0, fmax=1e9, aug=False)
+    # the in-place layout must be DISCOVERED, not silently skipped
+    assert len(ds.scene_info) == 1
+    info = next(iter(ds.scene_info.values()))
+    assert len(info["voxels"]) == len(info["depths"]) == N - 1
+    assert info["poses"].shape[0] == N - 1
+    assert len(ds) > 0
+    voxels, poses, disps, intr = ds[0]
+    assert voxels.shape[0] == 3                  # n_frames clip
+    assert poses.shape == (3, 7) and disps.shape[0] == 3
+
+
+def test_mismatched_pose_file_fails_loudly(tmp_path):
+    scene = os.path.join(str(tmp_path), "Env", "Easy", "P001")
+    _write_raw_scene(scene)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from convert_tartan import convert_sequence
+
+    convert_sequence(scene, fps=100.0, seed=0)
+    # truncate the pose file: must assert at build time, not IndexError later
+    poses = np.loadtxt(os.path.join(scene, "pose_left.txt"))
+    np.savetxt(os.path.join(scene, "pose_left.txt"), poses[:4])
+    with pytest.raises(AssertionError, match="poses"):
+        TartanAirEVS(str(tmp_path), n_frames=3, aug=False)

@@ -134,7 +134,11 @@ def test_eds_iterator_through_engine(tmp_path, shared):
     d = str(tmp_path)
     n_imgs, dt_us = N_FRAMES + 2, 33_000
     rng = np.random.default_rng(3)
-    n_ev = 120_000
+    # ~0.15 events/pixel/window (real EDS density): the hot-pixel filter's
+    # 10-sigma threshold is a mid-distribution cut on an unrealistically
+    # sparse uniform voxel (sigma collapses with 99%+ zeros), which would
+    # zero most events and trip the engine's empty-voxel skip
+    n_ev = 1_200_000
     t = np.sort(rng.integers(0, n_imgs * dt_us + 20_000, n_ev))
     with h5py.File(tmp_path / "events.h5", "w") as f:
         f.create_dataset("events/t", data=t.astype(np.int64))
