@@ -66,7 +66,14 @@ def main():
     # the motion-probe gate is a learned behavior (devo.py:531-534); with
     # random weights it rejects every frame and the bench would measure the
     # (cheap) rejection path instead of tracking. Disable it here.
-    cfg = VOConfig(MOTION_PROBE_THRESH=-1.0)
+    # BENCH_RING_I8/BENCH_WIRE env knobs A/B the corr-ring dtype and the
+    # host->device wire format without editing the file (perf triage).
+    import os
+    cfg = VOConfig(
+        MOTION_PROBE_THRESH=-1.0,
+        CORR_RING_I8=bool(int(os.environ.get("BENCH_RING_I8", "1"))),
+        VOXEL_WIRE=os.environ.get("BENCH_WIRE", "i8"),
+    )
     net = EVONet(P=cfg.P, dim_inet=cfg.DIM_INET, dim_fnet=cfg.DIM_FNET,
                  dim=cfg.DIM, patch_selector=cfg.PATCH_SELECTOR)
     params = net.init(jax.random.PRNGKey(0),

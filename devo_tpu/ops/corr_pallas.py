@@ -372,8 +372,15 @@ def _kernel_banded_split(nlive_ref, slot_ref, row0_ref,     # scalar prefetch
         def win_dma(e):
             q = b * BE + e
             if wi8:
+                # row0 arrives pre-multiplied by BWIN (=24, a multiple of 8)
+                # so the sublane-dim start of this flat-layout slice is
+                # always 8-aligned — but it is a dynamic SMEM scalar, so
+                # Mosaic cannot prove it (real-TPU compile failure: "Failed
+                # to prove that a tile index in dimension 1 is divisible by
+                # the tiling (8)"). Assert it, as rx8 does below.
+                r0 = pl.multiple_of(row0_ref[q], 8)
                 return pltpu.make_async_copy(
-                    fmap_hbm.at[slot_ref[q], pl.ds(row0_ref[q], wr * BWIN)],
+                    fmap_hbm.at[slot_ref[q], pl.ds(r0, wr * BWIN)],
                     win.at[e % K], sems.at[e % K])
             return pltpu.make_async_copy(
                 fmap_hbm.at[slot_ref[q], pl.ds(row0_ref[q], wr)],
