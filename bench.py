@@ -69,10 +69,20 @@ def main():
     # BENCH_RING_I8/BENCH_WIRE env knobs A/B the corr-ring dtype and the
     # host->device wire format without editing the file (perf triage).
     import os
+    ring_raw = os.environ.get("BENCH_RING_I8", "1").strip().lower()
+    if ring_raw not in ("0", "1", "true", "false", "yes", "no", ""):
+        sys.exit(f"BENCH_RING_I8={ring_raw!r}: expected one of "
+                 "0/1/true/false/yes/no")
+    ring_i8 = ring_raw in ("1", "true", "yes")
+    wire = os.environ.get("BENCH_WIRE", "i8").strip().lower()
+    if wire not in ("i8", "f16", "f32"):
+        # the engine silently falls back to f32 for unknown values — a
+        # typo'd A/B run must fail loudly, not measure the wrong config
+        sys.exit(f"BENCH_WIRE={wire!r}: expected one of i8/f16/f32")
     cfg = VOConfig(
         MOTION_PROBE_THRESH=-1.0,
-        CORR_RING_I8=bool(int(os.environ.get("BENCH_RING_I8", "1"))),
-        VOXEL_WIRE=os.environ.get("BENCH_WIRE", "i8"),
+        CORR_RING_I8=ring_i8,
+        VOXEL_WIRE=wire,
     )
     net = EVONet(P=cfg.P, dim_inet=cfg.DIM_INET, dim_fnet=cfg.DIM_FNET,
                  dim=cfg.DIM, patch_selector=cfg.PATCH_SELECTOR)
@@ -131,15 +141,27 @@ def main():
     # PERF_NOTES.md "Measurement rules")
     WINDOWS = 4
     per = N_BENCH // WINDOWS
-    win_fps = []
+    win_fps, win_qwait, win_caps, win_live = [], [], [], []
     t_all0 = time.perf_counter()
     for w in range(WINDOWS):
         t0 = time.perf_counter()
+        qwait = 0.0
+        caps = set()
         for _ in range(per):
+            tq = time.perf_counter()
             i, vox = q.get()
+            qwait += time.perf_counter() - tq
             slam(i / 30.0, vox, intr)
+            caps.add(slam.state.ii.shape[0])
         jax.block_until_ready(slam.state.poses)
         win_fps.append(per / (time.perf_counter() - t0))
+        win_qwait.append(qwait)
+        win_caps.append(sorted(caps))
+        # one sync live-edge read per window boundary (~31 ms tunnel
+        # round-trip, outside the block_until_ready'd window timing above
+        # would bias; it lands AFTER t0 of nothing — acceptable: it charges
+        # the NEXT window ~31 ms, noted in the JSON for attribution)
+        win_live.append(int(slam.state.n_edges))
     dt = time.perf_counter() - t_all0
 
     fps = WINDOWS * per / dt
@@ -156,6 +178,13 @@ def main():
         "steady_window_fps": round(steady, 2),
         "window_fps": [round(f, 2) for f in win_fps],
         "window_spread": round(spread, 3),
+        # perf-triage diagnostics (VERDICT r02: the bench must be able to
+        # attribute its own regressions without a human at the keyboard)
+        "config": {"ring_i8": ring_i8, "wire": wire,
+                   "force_bucket": os.environ.get("DEVO_FORCE_BUCKET")},
+        "window_upload_wait_s": [round(x, 2) for x in win_qwait],
+        "window_bucket_caps": win_caps,
+        "window_end_live_edges": win_live,
     }))
 
 

@@ -191,12 +191,15 @@ def _scale_intrinsics(intr, H, W, H_orig, W_orig):
 def _ecd_windows(evs_txt_us, tss_us, intr, H, W, rect_map, dT_ms):
     """ECD-style text-event windows (load_utils.py:635-664): the emitted
     timestamp is min((t0 + t1)/2, next image stamp) and the LAST image is
-    dropped. evs: (N, 4) [t_us, x, y, p]."""
+    dropped. evs: (N, 4) [t_us, x, y, p]. dT_ms=None spans each window to
+    the NEXT image stamp (the reference's DELTA_MS=None ECD default,
+    load_utils.py:643-646)."""
     t = evs_txt_us[:, 0]
     for i, ts_us in enumerate(tss_us):
         if i == len(tss_us) - 1:
             break
-        t0, t1 = ts_us, ts_us + dT_ms * 1e3
+        t0 = ts_us
+        t1 = tss_us[i + 1] if dT_ms is None else ts_us + dT_ms * 1e3
         sel = (t >= t0) & (t < t1)
         if not sel.any():
             continue
@@ -297,6 +300,29 @@ def fpv_evs_iterator(scenedir, stride=1, dT_ms=None, H=260, W=346,
     assert 3 < dT_ms < 200
     return _ecd_windows(evs, tss[imstart:imstop:stride],
                         np.asarray(intr, np.float32), H, W, rect, dT_ms)
+
+
+def ecd_evs_iterator(scenedir, stride=1, dT_ms=None, H=180, W=240):
+    """load_utils.py:704-757 — 180x240 DAVIS240C Event Camera Dataset.
+
+    events.txt is stamped in SECONDS -> us (unlike RPG's evs_*.txt which is
+    already us, and like FPV but with no t_offset file); image stamps come
+    from tss_us.txt (written by pp_ecd.py from images.txt); windows default
+    to [ts, next image ts) (DELTA_MS=None, load_utils.py:643-646) rather
+    than a mean-spacing dT like RPG/FPV; an explicit dT_ms must be in
+    (5, 1000) (load_utils.py:705-706)."""
+    if dT_ms is not None:
+        assert 5 < dT_ms < 1000, f"dT_ms={dT_ms} outside (5, 1000)"
+    evs_file = glob.glob(osp.join(scenedir, "events.txt"))
+    assert len(evs_file) == 1, f"expected one events.txt under {scenedir}"
+    evs = np.asarray(np.loadtxt(evs_file[0], delimiter=" "))  # [t_s, x, y, p]
+    evs[:, 0] = evs[:, 0] * 1e6
+    rect = _read_rmap(osp.join(scenedir, "rectify_map.h5"), H, W)
+    intr = np.loadtxt(osp.join(scenedir, "calib_undist.txt"))
+    assert len(intr) == 4                    # load_intrinsics_ecd (:592-597)
+    tss = np.sort(np.loadtxt(osp.join(scenedir, "tss_us.txt")))
+    return _ecd_windows(evs, tss[::stride], np.asarray(intr, np.float32),
+                        H, W, rect, dT_ms)
 
 
 def mvsec_evs_iterator(scenedir, side="left", stride=1, H=260, W=346):
@@ -435,6 +461,7 @@ def load_mvsec_traj(scenedir, side="left"):
 # --------------------------------------------------------------- registry
 
 ITERATORS = {
+    "ecd": ecd_evs_iterator,
     "eds": eds_evs_iterator,
     "tumvie": tumvie_evs_iterator,
     "rpg": rpg_evs_iterator,
@@ -463,6 +490,14 @@ def load_benchmark_gt(benchmark: str, datapath: str, side: str = "left"):
     b = benchmark.lower()
     if b == "mvsec":
         return load_mvsec_traj(datapath, side=side)
+    if b == "ecd":
+        # ECD ships groundtruth.txt stamped in SECONDS (load_ecd_gt,
+        # load_utils.py:604-611)
+        for c in ("groundtruth.txt", "stamped_groundtruth.txt"):
+            p = osp.join(datapath, c)
+            if osp.exists(p):
+                return load_ecd_gt(p)
+        raise FileNotFoundError(f"no ECD GT file under {datapath}")
     candidates = {
         "eds": ["stamped_groundtruth_us.txt"],
         "tumvie": ["mocap_data.txt", "stamped_groundtruth_us.txt"],

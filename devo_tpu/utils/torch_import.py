@@ -147,3 +147,57 @@ def load_checkpoint(path: str) -> Dict:
     if "model_state_dict" in ckpt:
         ckpt = ckpt["model_state_dict"]
     return convert_state_dict(ckpt, strict=True)
+
+
+def _to_plain(tree):
+    """Nested (Frozen)Dict of arrays -> plain dict of numpy copies."""
+    if hasattr(tree, "items"):
+        return {k: _to_plain(v) for k, v in tree.items()}
+    return np.array(tree)
+
+
+def _merge_matching(dst: Dict, src: Dict, dropped, path=""):
+    for k, v in src.items():
+        if k not in dst:
+            dropped.append(f"{path}{k} (not in target model)")
+            continue
+        if isinstance(v, dict):
+            _merge_matching(dst[k], v, dropped, path + k + "/")
+        elif tuple(np.shape(v)) == tuple(np.shape(dst[k])):
+            dst[k] = np.asarray(v)
+        else:
+            dropped.append(f"{path}{k} {tuple(np.shape(v))} != "
+                           f"{tuple(np.shape(dst[k]))}")
+
+
+def warm_start(state_dict, init_params, verbose: bool = True):
+    """RGB->event warm-start migration (/root/reference/train.py:114-138).
+
+    The reference warm-starts the 5-channel event model from an
+    RGB-pretrained DPVO checkpoint by keeping only weights whose SHAPE
+    matches the target model and silently re-initializing the rest — in
+    practice exactly the two 3-channel input convs
+    ('patchify.{fnet,inet}.conv1.weight', (32, 3, 7, 7) vs (32, 5, 7, 7));
+    their biases match and transfer. Returns (params, dropped_paths):
+    `init_params` with every shape-matched torch weight copied in.
+    """
+    src = convert_state_dict(state_dict, strict=False)
+    dst = _to_plain(init_params)
+    dropped = []
+    _merge_matching(dst, src, dropped)
+    if verbose and dropped:
+        print(f"warm_start: re-initializing {len(dropped)} mismatched "
+              f"weights: {dropped}")
+    return dst, dropped
+
+
+def load_warmstart(path: str, init_params) -> Dict:
+    """CLI entry: torch checkpoint -> shape-matched merge over fresh init
+    (train.py --warmstart)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if "model_state_dict" in ckpt:
+        ckpt = ckpt["model_state_dict"]
+    params, _ = warm_start(ckpt, init_params)
+    return params

@@ -43,6 +43,21 @@ def frame_iterator(imgdir: str, intrinsics, stride: int = 1):
         yield img.transpose(2, 0, 1).astype(np.float32), intrinsics, ts
 
 
+def load_undist_intrinsics(datapath: str) -> np.ndarray:
+    """Undistorted intrinsics written by the benchmark's pp_*.py. Missing
+    file = setup error, like the evs path (data/loaders.py) — a fabricated
+    pinhole would silently track garbage (VERDICT r02 weak #5)."""
+    calib = os.path.join(datapath, "calib_undist.txt")
+    if not os.path.exists(calib):
+        raise FileNotFoundError(
+            f"{calib} missing: run the benchmark's pp_*.py preprocessor to "
+            "write undistorted intrinsics (no fallback — guessed intrinsics "
+            "produce garbage tracking with no warning)")
+    intr = np.loadtxt(calib)
+    assert len(intr) == 4, f"{calib}: expected 4 values, got {len(intr)}"
+    return np.asarray(intr, np.float32)
+
+
 def main(benchmark: str, family: str):
     """family: 'rgb' (camera frames), 'e2v' (E2VID reconstructions),
     'evs_frame' (rendered event frames) — they differ only in which image
@@ -68,9 +83,7 @@ def main(benchmark: str, family: str):
         datapath = os.path.join(args.datapath, scene)
         tss_gt_us, traj_gt = load_tum_traj(
             os.path.join(datapath, "stamped_groundtruth_us.txt"))
-        intr = np.loadtxt(os.path.join(datapath, "calib_undist.txt")) \
-            if os.path.exists(os.path.join(datapath, "calib_undist.txt")) \
-            else np.asarray([W, W, W / 2, H / 2], np.float32)
+        intr = load_undist_intrinsics(datapath)
         med, all_res, fps = evaluate_sequence(
             cfg, params,
             make_iterator=lambda dp=datapath: frame_iterator(

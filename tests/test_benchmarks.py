@@ -152,6 +152,68 @@ def test_rpg_simulation_has_no_rectify_map(tmp_path):
     assert len(out) > 0
 
 
+# ------------------------------------------------------------------- ECD
+
+def _write_ecd(tmp_path):
+    d = str(tmp_path)
+    t, x, y, p = make_stream()
+    # ECD events.txt is stamped in SECONDS (load_utils.py:715-716)
+    np.savetxt(os.path.join(d, "events.txt"),
+               np.stack([t / 1e6, x, y, (p > 0).astype(int)], 1),
+               fmt="%.9f %d %d %d")
+    write_identity_rmap(os.path.join(d, "rectify_map.h5"), H, W)
+    np.savetxt(os.path.join(d, "calib_undist.txt"),
+               [100.0, 100.0, W / 2, H / 2])
+    np.savetxt(os.path.join(d, "tss_us.txt"), tss_imgs())
+    return d, (t, x, y, p)
+
+
+def test_ecd_next_image_windows_and_seconds_events(tmp_path):
+    """DELTA_MS=None spans each window to the NEXT image stamp
+    (load_utils.py:643-646) — unlike RPG/FPV which default to the mean
+    frame spacing; events arrive in seconds and are converted to us."""
+    d, (t, x, y, p) = _write_ecd(tmp_path)
+    out = list(bm.ecd_evs_iterator(d, H=H, W=W))
+    tss = tss_imgs()
+    assert len(out) <= N_IMGS - 1           # last image dropped (:640)
+    vox, intr, ts = out[0]
+    assert vox.shape == (5, H, W)
+    # emitted ts = min((t0+t1)/2, next) with t1 == next image stamp
+    np.testing.assert_allclose(ts, (tss[0] + tss[1]) / 2 / 1e6)
+    # the first voxel must cover exactly the events in [ts0, ts1)
+    from devo_tpu.data.event_utils import to_voxel_grid
+    sel = (t >= tss[0]) & (t < tss[1])
+    want = to_voxel_grid(x[sel], y[sel], t[sel].astype(np.float64), p[sel],
+                         H, W, 5)
+    np.testing.assert_allclose(vox, want, atol=1e-4)
+
+
+def test_ecd_explicit_delta_is_range_checked(tmp_path):
+    d, _ = _write_ecd(tmp_path)
+    with pytest.raises(AssertionError):
+        list(bm.ecd_evs_iterator(d, dT_ms=3.0, H=H, W=W))   # (5, 1000) per :705-706
+    out = list(bm.ecd_evs_iterator(d, dT_ms=6.0, H=H, W=W))
+    # with an explicit window, ts = min((t0 + 6ms)/2 midpoint, next)
+    tss = tss_imgs()
+    want = min((tss[0] + tss[0] + 6_000) / 2, tss[1]) / 1e6
+    np.testing.assert_allclose(out[0][2], want)
+
+
+def test_ecd_dispatch_and_gt(tmp_path):
+    """'ecd' must dispatch to the quirk iterator (not the generic
+    fallback), and GT routes through load_ecd_gt (seconds -> us)."""
+    d, _ = _write_ecd(tmp_path)
+    out = list(bm.benchmark_evs_iterator("ecd", d, H=H, W=W))
+    assert len(out) > 0 and out[0][0].shape == (5, H, W)
+
+    rows = np.concatenate([np.arange(4)[:, None] * 1.0,   # seconds
+                           np.zeros((4, 6)), np.ones((4, 1))], 1)
+    np.savetxt(os.path.join(d, "groundtruth.txt"), rows)
+    tss_us, traj = bm.load_benchmark_gt("ecd", d)
+    np.testing.assert_allclose(tss_us, np.arange(4) * 1e6)
+    assert traj.shape == (4, 7)
+
+
 # ------------------------------------------------------------------- FPV
 
 def test_fpv_t_offset_and_gt_window_crop(tmp_path):

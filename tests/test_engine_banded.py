@@ -1,0 +1,60 @@
+"""Engine-level integration test of the SHIPPING banded corr path.
+
+The engine golden test (tests/test_engine_golden.py) forces CORR_IMPL=
+"gather"; the banded bf16/int8 kernels were only ever golden-tested at the
+kernel level, so the engine's banding/ring plumbing — _banded_writes, the
+banded _shift_ring on keyframe removal, per-slot dequant-scale shifts, and
+level_win_rows — had no end-to-end coverage off-hardware (VERDICT r02 weak
+#7). Here the full engine runs with CORR_IMPL="banded" under Pallas
+interpret mode (DEVO_CORR_INTERPRET=1 keeps the banded path active on the
+CPU backend) against the same reference-semantics oracle.
+
+Reference spec: /root/reference/devo/devo.py:382-555 (tracking step),
+correlation_kernel.cu:83-136 (corr tap grid).
+"""
+import numpy as np
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from test_engine_golden import CFG, run_both
+
+N_FRAMES = 18  # past init (8) + keyframe window: culls + ring shifts occur
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("i8", [False, True], ids=["bf16", "i8"])
+def test_engine_banded_matches_oracle(i8, monkeypatch):
+    monkeypatch.setenv("DEVO_CORR_INTERPRET", "1")
+    cfg = CFG.replace(CORR_IMPL="banded", CORR_RING_I8=i8)
+    with pltpu.force_tpu_interpret_mode():
+        fast, slow, records = run_both(cfg, n_frames=N_FRAMES)
+
+    kf_any = False
+    for r in records:
+        f = r["frame"]
+        assert r["fast_n"] == r["slow_n"], \
+            f"frame {f}: n {r['fast_n']} vs {r['slow_n']}"
+        assert r["fast_edges"] == r["slow_edges"], (
+            f"frame {f}: edge tables differ "
+            f"(fast-only: {sorted(r['fast_edges'] - r['slow_edges'])[:5]}, "
+            f"slow-only: {sorted(r['slow_edges'] - r['fast_edges'])[:5]})")
+        # banded rings are bf16 (optionally int8-quantized), the oracle's
+        # corr is exact f32: pose tolerance is looser than the gather
+        # golden test's but still catches any control-flow or addressing
+        # bug immediately (a wrong band/row0/scale produces garbage corr
+        # and visibly divergent trajectories within a frame or two)
+        np.testing.assert_allclose(
+            r["fast_poses"], r["slow_poses"], atol=0.1 if i8 else 5e-2,
+            err_msg=f"frame {f}: pose buffers diverged")
+        kf_any = kf_any or r["fast_kf"]
+
+    # the point of the test: the banded rings must survive a keyframe
+    # removal (banded _shift_ring + dequant-scale shift). If no cull fired
+    # the test silently wouldn't cover it.
+    assert kf_any, "no keyframe cull occurred; banded ring shifts untested"
+
+    poses_f, tss_f = fast.terminate()
+    poses_s, tss_s = slow.terminate()
+    np.testing.assert_array_equal(tss_f, tss_s)
+    np.testing.assert_allclose(poses_f, poses_s, atol=0.1 if i8 else 5e-2)

@@ -53,6 +53,23 @@ def shared():
     return {"params": _params(), "engine_cache": {}}
 
 
+def test_frames_driver_rejects_missing_intrinsics(tmp_path):
+    """The frame-eval driver must fail at setup when calib_undist.txt is
+    absent, not fabricate a pinhole (VERDICT r02 weak #5; the evs path
+    already fails, data/loaders.py)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "evals"))
+    from common_frames import load_undist_intrinsics
+
+    with pytest.raises(FileNotFoundError, match="calib_undist.txt"):
+        load_undist_intrinsics(str(tmp_path))
+    np.savetxt(os.path.join(str(tmp_path), "calib_undist.txt"),
+               [100.0, 101.0, 32.0, 24.0])
+    np.testing.assert_allclose(load_undist_intrinsics(str(tmp_path)),
+                               [100.0, 101.0, 32.0, 24.0])
+
+
 def test_evaluate_sequence_artifacts(tmp_path, shared):
     vox = _voxels()
     gt = np.zeros((N_FRAMES, 7), np.float32)

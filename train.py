@@ -54,6 +54,10 @@ def main():
     p.add_argument("--datapath", required=True)
     p.add_argument("--ckpt_dir", default="checkpoints")
     p.add_argument("--checkpoint", default=None, help="resume path")
+    p.add_argument("--warmstart", default=None,
+                   help="torch .pth to warm-start from (e.g. RGB-pretrained "
+                        "DPVO): shape-mismatched keys — the 3ch conv1 pair "
+                        "— are re-initialized (reference train.py:114-138)")
     p.add_argument("--steps", type=int, default=240_000)
     p.add_argument("--lr", type=float, default=8e-5)
     p.add_argument("--batch", type=int, default=1, help="per-device batch")
@@ -125,6 +129,11 @@ def main():
         params, opt_state = tr.init(jax.random.PRNGKey(0),
                                     jnp.asarray(sample["voxels"][0]))
         start = 0
+        if args.warmstart:
+            # RGB->event migration: fresh optimizer + schedule, transferred
+            # weights where shapes match (reference train.py:114-138)
+            from devo_tpu.utils.torch_import import load_warmstart
+            params = load_warmstart(args.warmstart, params)
 
     step_fn = tr.build_train_step()
     logger = Logger(args.name, total_steps=start)
