@@ -38,7 +38,8 @@ def frame_iter(img_files, fps):
         yield img, i * 1e6 / fps
 
 
-def convert_sequence(scene: str, fps: float, seed: int):
+def convert_sequence(scene: str, fps: float, seed: int,
+                     upsample: int = 1, upsample_mode: str = "flow"):
     img_dir = os.path.join(scene, "image_left")
     img_files = sorted(glob.glob(os.path.join(img_dir, "*.png")))
     if not img_files:
@@ -48,7 +49,9 @@ def convert_sequence(scene: str, fps: float, seed: int):
     os.makedirs(outdir, exist_ok=True)
     n = 0
     for i, (vox, t_us) in enumerate(
-            simulate_sequence(frame_iter(img_files, fps), seed=seed)):
+            simulate_sequence(frame_iter(img_files, fps), seed=seed,
+                              upsample=upsample,
+                              upsample_mode=upsample_mode)):
         with h5py.File(os.path.join(outdir, f"{i:06d}.h5"), "w") as f:
             f.create_dataset("voxel", data=vox, dtype="float16")
         n += 1
@@ -61,9 +64,17 @@ def main():
     p.add_argument("--scenes", nargs="+", required=True)
     p.add_argument("--fps", type=float, default=100.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--upsample", type=int, default=1,
+                   help="N-x frame interpolation before ESIM (the vid2e/"
+                        "Super-SloMo stage, reference convert_tartan.py:178;"
+                        " flow-warped intermediates by default)")
+    p.add_argument("--upsample_mode", default="flow",
+                   choices=["flow", "linear"])
     args = p.parse_args()
     for k, scene in enumerate(args.scenes):
-        convert_sequence(scene, args.fps, args.seed + k)
+        convert_sequence(scene, args.fps, args.seed + k,
+                         upsample=args.upsample,
+                         upsample_mode=args.upsample_mode)
 
 
 if __name__ == "__main__":
