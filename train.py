@@ -22,30 +22,61 @@ import threading
 import numpy as np
 
 
-def data_loader(dataset, batch_size: int, seed: int, workers: int = 2,
-                qsize: int = 4):
-    """Background-thread batch producer (replaces DataLoader(num_workers=4),
-    train.py:93-95)."""
-    q: "queue.Queue" = queue.Queue(maxsize=qsize)
-    rng = np.random.default_rng(seed)
+def _make_batch(dataset, idxs):
+    samples = [dataset[int(i)] for i in idxs]
+    return {
+        "voxels": np.stack([s[0] for s in samples]).transpose(0, 1, 3, 4, 2),
+        "poses": np.stack([s[1] for s in samples]),
+        "disps": np.stack([s[2] for s in samples]),
+        "intrinsics": np.stack([s[3][0] for s in samples]),
+    }
+
+
+def _proc_worker(dataset, batch_size, seed, wid, q):
+    """Worker-process loop (top level so the spawn context can pickle it).
+    The dataset is rebuilt from its pickle in each worker; h5 files are
+    opened lazily per item (data/tartan.py), so no handles cross the
+    process boundary."""
+    wrng = np.random.default_rng(seed + wid + 1)
+    while True:
+        q.put(_make_batch(dataset, wrng.integers(0, len(dataset), batch_size)))
+
+
+def data_loader(dataset, batch_size: int, seed: int, workers: int = 4,
+                qsize: int = 4, method: str = "process"):
+    """Background batch producer (counterpart of DataLoader(num_workers=4),
+    /root/reference/train.py:93-95).
+
+    method="process" (default): worker PROCESSES via the spawn context —
+    the TartanAir path is h5-decode heavy and Python threads are GIL-bound
+    on it (measured: see PERF_NOTES "loader throughput"). method="thread"
+    keeps the light in-process variant for tiny smoke runs/tests where
+    spawning interpreters costs more than it saves."""
+    if method == "process":
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        q = ctx.Queue(maxsize=qsize)
+        for w in range(workers):
+            ctx.Process(target=_proc_worker,
+                        args=(dataset, batch_size, seed, w, q),
+                        daemon=True).start()
+        while True:
+            yield q.get()
+        return
+
+    tq: "queue.Queue" = queue.Queue(maxsize=qsize)
 
     def worker(wid):
         wrng = np.random.default_rng(seed + wid + 1)
         while True:
-            idxs = wrng.integers(0, len(dataset), batch_size)
-            samples = [dataset[int(i)] for i in idxs]
-            batch = {
-                "voxels": np.stack([s[0] for s in samples]).transpose(0, 1, 3, 4, 2),
-                "poses": np.stack([s[1] for s in samples]),
-                "disps": np.stack([s[2] for s in samples]),
-                "intrinsics": np.stack([s[3][0] for s in samples]),
-            }
-            q.put(batch)
+            tq.put(_make_batch(dataset,
+                               wrng.integers(0, len(dataset), batch_size)))
 
     for w in range(workers):
         threading.Thread(target=worker, args=(w,), daemon=True).start()
     while True:
-        yield q.get()
+        yield tq.get()
 
 
 def main():
@@ -54,6 +85,11 @@ def main():
     p.add_argument("--datapath", required=True)
     p.add_argument("--ckpt_dir", default="checkpoints")
     p.add_argument("--checkpoint", default=None, help="resume path")
+    p.add_argument("--loader", default="process",
+                   choices=["process", "thread"],
+                   help="batch-loader workers: processes (h5 decode is "
+                        "GIL-bound in threads) or threads (tiny smoke runs)")
+    p.add_argument("--loader_workers", type=int, default=4)
     p.add_argument("--warmstart", default=None,
                    help="torch .pth to warm-start from (e.g. RGB-pretrained "
                         "DPVO): shape-mismatched keys — the 3ch conv1 pair "
@@ -118,7 +154,8 @@ def main():
                  pose_weight=args.pose_weight, flow_weight=args.flow_weight,
                  scores_weight=args.scores_weight, randaug=args.randaug)
 
-    loader = data_loader(dataset, args.batch * n_dev, seed=0)
+    loader = data_loader(dataset, args.batch * n_dev, seed=0,
+                         workers=args.loader_workers, method=args.loader)
     sample = next(loader)
     if args.checkpoint:
         # full resume: params + optimizer moments + schedule position
