@@ -101,23 +101,29 @@ def main():
         sh = (3 * i) % WD
         return base[:, sh:sh + WD]
 
-    # double-buffered upload thread: the host->device voxel transfer
-    # otherwise serializes with the step execution (the reference hides the
-    # same latency with multiprocessing loaders, load_utils.py:119-131)
+    # batched double-buffered upload thread: the host->device voxel
+    # transfer otherwise serializes with the step execution (the reference
+    # hides the same latency with multiprocessing loaders,
+    # load_utils.py:119-131), and EVERY per-frame upload pays a flat
+    # ~31 ms tunnel sync — measured as the bench's critical path in the
+    # round-3 A/B (window_upload_wait_s ~= the whole window). One stacked
+    # K-frame transfer amortizes the sync to 31/K ms/frame
+    # (engine.upload_batch).
     import queue
     import threading
 
-    q: "queue.Queue" = queue.Queue(maxsize=2)
+    UPLOAD_BATCH = 8
+    q: "queue.Queue" = queue.Queue(maxsize=2 * UPLOAD_BATCH)
 
     def uploader():
+        buf = []
         for i in range(N_WARM + N_BENCH):
-            v = slam.upload(frame(i))
-            # force the H2D copy to complete HERE: jnp.asarray only schedules
-            # the transfer, and an unmaterialized array serializes its bytes
-            # into the main thread's step dispatch (measured: bench FPS ==
-            # no-transfer FPS minus the full wire time, zero overlap)
-            jax.block_until_ready(v[0])
-            q.put((i, v))
+            buf.append((i, frame(i)))
+            if len(buf) == UPLOAD_BATCH or i == N_WARM + N_BENCH - 1:
+                ups = slam.upload_batch([f for _, f in buf])
+                for (j, _), uv in zip(buf, ups):
+                    q.put((j, uv))
+                buf = []
 
     threading.Thread(target=uploader, daemon=True).start()
 
@@ -131,7 +137,9 @@ def main():
     # every bucket executable must exist before timing: a mid-window bucket
     # switch would otherwise charge a 10-90 s remote compile to the FPS
     _hb("warm done; waiting for bucket executables")
-    slam.wait_buckets()
+    while not slam.wait_buckets(timeout=60):
+        pc = slam._precompiler
+        _hb(f"buckets ready: {sorted(pc._ready)} of {pc._all_caps}")
     _hb("buckets ready; timing")
 
     # timed sub-windows: one block per window. The overall number is the

@@ -22,6 +22,48 @@ from devo_tpu.runtime.engine import DEVO
 from .ate import TrajectoryMetrics, ate_real, compute_median_results
 
 
+def _pipelined_uploads(slam, iterator, batch: int = 8, qsize: int = 24):
+    """Overlap host->device voxel transfer with tracking: a background
+    thread drains the (CPU-side) iterator and uploads frames in stacked
+    batches (engine.upload_batch — each single upload pays a flat ~31 ms
+    tunnel sync, the measured eval-FPS ceiling; VERDICT r02 weak #4 /
+    bench.py's uploader). Yields (device_view, scale), intrinsics, ts."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=qsize)
+
+    def work():
+        try:
+            buf = []
+
+            def flush():
+                ups = slam.upload_batch(
+                    [np.transpose(v, (1, 2, 0)) for v, _, _ in buf])
+                for (_, intr, t), uv in zip(buf, ups):
+                    q.put((uv, intr, t))
+                buf.clear()
+
+            for item in iterator:
+                buf.append(item)
+                if len(buf) == batch:
+                    flush()
+            if buf:
+                flush()
+            q.put(None)
+        except BaseException as e:                  # propagate, don't hang
+            q.put(e)
+
+    threading.Thread(target=work, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def run_voxel(cfg: VOConfig, params, iterator, ht: int, wd: int,
               seed: int = 0, final_updates: int = 12, timing: bool = False,
               engine_cache: Optional[dict] = None):
@@ -31,38 +73,38 @@ def run_voxel(cfg: VOConfig, params, iterator, ht: int, wd: int,
     compiled per-bucket executables — across trials/sequences; a fresh
     engine per trial would re-jit every bucket (10-90 s each on the remote
     compiler)."""
-    slam = None
-    t_start = None
-    nframes = 0
-    for voxel, intrinsics, tss in iterator:
-        if slam is None:
-            H, W = voxel.shape[-2], voxel.shape[-1]
-            if (H, W) != (ht, wd):
-                # ht/wd size the COMPILED engine only through the voxels the
-                # iterator actually yields — a resize must happen in the
-                # iterator (e.g. tumvie_evs_iterator(H=, W=)), not here
-                print(f"[run_voxel] iterator yields {H}x{W} voxels; "
-                      f"caller asked {ht}x{wd} — tracking at {H}x{W}",
-                      file=sys.stderr)
-            W_eff = W - 2 if W == 346 else W  # MVSEC crop (devo.py:466)
-            # the key includes cfg: a cached engine keeps ITS config on
-            # reset, so reusing across configs (e.g. run_voxel_norm_seq's
-            # NORM='none') would silently track with the wrong settings
-            key = (H, W_eff, cfg)
-            if engine_cache is not None and key in engine_cache:
-                slam = engine_cache[key]
-                slam.reset(seed=seed, params=params)
-            else:
-                slam = DEVO(cfg, params, ht=H, wd=W_eff, seed=seed)
-                if engine_cache is not None:
-                    engine_cache[key] = slam
-            t_start = time.perf_counter()
-        vox_hwc = np.transpose(voxel, (1, 2, 0))  # (H, W, bins)
-        slam(tss, vox_hwc, intrinsics)
-        nframes += 1
-
-    if slam is None:
+    it = iter(iterator)
+    first = next(it, None)
+    if first is None:
         raise RuntimeError("empty iterator")
+    voxel, intrinsics, tss = first
+    H, W = voxel.shape[-2], voxel.shape[-1]
+    if (H, W) != (ht, wd):
+        # ht/wd size the COMPILED engine only through the voxels the
+        # iterator actually yields — a resize must happen in the
+        # iterator (e.g. tumvie_evs_iterator(H=, W=)), not here
+        print(f"[run_voxel] iterator yields {H}x{W} voxels; "
+              f"caller asked {ht}x{wd} — tracking at {H}x{W}",
+              file=sys.stderr)
+    W_eff = W - 2 if W == 346 else W  # MVSEC crop (devo.py:466)
+    # the key includes cfg: a cached engine keeps ITS config on
+    # reset, so reusing across configs (e.g. run_voxel_norm_seq's
+    # NORM='none') would silently track with the wrong settings
+    key = (H, W_eff, cfg)
+    if engine_cache is not None and key in engine_cache:
+        slam = engine_cache[key]
+        slam.reset(seed=seed, params=params)
+    else:
+        slam = DEVO(cfg, params, ht=H, wd=W_eff, seed=seed)
+        if engine_cache is not None:
+            engine_cache[key] = slam
+
+    t_start = time.perf_counter()
+    slam(tss, np.transpose(voxel, (1, 2, 0)), intrinsics)
+    nframes = 1
+    for uv, intr, t in _pipelined_uploads(slam, it):
+        slam(t, uv, intr)
+        nframes += 1
 
     for _ in range(final_updates):
         slam.update()

@@ -1047,6 +1047,32 @@ class DEVO:
             voxel = np.ascontiguousarray(voxel, dtype=dt)
         return jnp.asarray(voxel), np.float32(1.0)
 
+    def upload_batch(self, voxels):
+        """Upload K frames in ONE host->device transfer; returns a list of
+        (device_view, scale) tuples consumable by __call__.
+
+        Every per-frame upload pays a flat ~31 ms tunnel sync on top of the
+        wire time (PERF_NOTES "Tunnel characteristics"); measured in the
+        round-3 A/B bench this made the uploader the critical path (2-3.3 s
+        of every ~3 s timing window waiting on uploads). One stacked
+        (K, H, W, bins) transfer amortizes the sync to 31/K ms/frame; the
+        per-frame device slices dispatch lazily and cost no round-trip."""
+        import jax as _jax
+
+        wire = getattr(self.cfg, "VOXEL_WIRE", "i8")
+        if wire == "i8":
+            from devo_tpu import native
+            qs, scales = zip(*(native.quantize_i8(np.asarray(v, np.float32))
+                               for v in voxels))
+            dev = jnp.asarray(np.stack(qs))
+            _jax.block_until_ready(dev)
+            return [(dev[i], np.float32(s)) for i, s in enumerate(scales)]
+        dt = np.float16 if wire == "f16" else np.float32
+        dev = jnp.asarray(np.stack(
+            [np.ascontiguousarray(v, dtype=dt) for v in voxels]))
+        _jax.block_until_ready(dev)
+        return [(dev[i], np.float32(1.0)) for i in range(len(voxels))]
+
     def __call__(self, tstamp, voxel, intrinsics):
         """voxel: (H, W, bins) numpy/jax array; intrinsics: (4,)."""
         vscale = np.float32(1.0)
