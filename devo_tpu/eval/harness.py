@@ -66,13 +66,14 @@ def _pipelined_uploads(slam, iterator, batch: int = 8, qsize: int = 24):
 
 def run_voxel(cfg: VOConfig, params, iterator, ht: int, wd: int,
               seed: int = 0, final_updates: int = 12, timing: bool = False,
-              engine_cache: Optional[dict] = None):
+              engine_cache: Optional[dict] = None, viz_dir: str = None):
     """Track one sequence; returns (poses (N,7) c2w, tstamps (N,), fps).
 
     `engine_cache` (keyed by (H, W)) reuses DEVO instances — and thus their
     compiled per-bucket executables — across trials/sequences; a fresh
     engine per trial would re-jit every bucket (10-90 s each on the remote
-    compiler)."""
+    compiler). `viz_dir` attaches the live viewer (runtime/viewer.py, the
+    reference's `viz=True` dpviewer hook, eval_utils.py/devo.py:139)."""
     it = iter(iterator)
     first = next(it, None)
     if first is None:
@@ -98,6 +99,9 @@ def run_voxel(cfg: VOConfig, params, iterator, ht: int, wd: int,
         slam = DEVO(cfg, params, ht=H, wd=W_eff, seed=seed)
         if engine_cache is not None:
             engine_cache[key] = slam
+
+    if viz_dir:
+        slam.start_viewer(out_dir=viz_dir)
 
     t_start = time.perf_counter()
     slam(tss, np.transpose(voxel, (1, 2, 0)), intrinsics)
@@ -160,17 +164,22 @@ def evaluate_sequence(
     traj_gt: np.ndarray, tss_gt: np.ndarray,
     trials: int = 1, ht: int = 480, wd: int = 640,
     max_diff_s: float = 1.0, outdir: Optional[str] = None, name: str = "seq",
-    engine_cache: Optional[dict] = None,
+    engine_cache: Optional[dict] = None, viz: bool = False,
 ):
     """Seeded multi-trial evaluation; returns (median TrajectoryMetrics,
     all metrics, fps list). One engine is shared across trials (and across
-    sequences if the caller passes a persistent `engine_cache`)."""
+    sequences if the caller passes a persistent `engine_cache`). `viz`
+    attaches the live viewer on trial 0, rendering to <outdir>/viz_<name>
+    (the reference scripts' viz=True, eval_utils.py:112)."""
     results, fps_list = [], []
     if engine_cache is None:
         engine_cache = {}
     for trial in range(trials):
+        viz_dir = (os.path.join(outdir or ".", f"viz_{name}")
+                   if viz and trial == 0 else None)
         poses, tss, fps = run_voxel(cfg, params, make_iterator(), ht, wd,
-                                    seed=trial, engine_cache=engine_cache)
+                                    seed=trial, engine_cache=engine_cache,
+                                    viz_dir=viz_dir)
         m = ate_real(poses, tss, traj_gt, tss_gt, max_diff=max_diff_s)
         results.append(m)
         fps_list.append(fps)

@@ -921,6 +921,16 @@ class DEVO:
         self._sampler = _EdgeCountSampler()
         self._frame_idx = 0
         self.aux_log = []          # device aux records (lazy)
+        self.viewer = None         # optional live viewer (start_viewer)
+
+    def start_viewer(self, out_dir: str = "viewer_out", period: float = 2.0):
+        """Attach the live viewer (devo.py:139-149): a background thread
+        renders trajectory + point cloud + input inset to PNG frames in
+        `out_dir`. Headless-friendly dpviewer equivalent; all device reads
+        happen on the viewer thread at a bounded rate."""
+        from devo_tpu.runtime.viewer import Viewer
+        self.viewer = Viewer(self, out_dir=out_dir, period=period)
+        return self.viewer
 
     @staticmethod
     def _round_cap(c: int) -> int:
@@ -1076,6 +1086,8 @@ class DEVO:
     def __call__(self, tstamp, voxel, intrinsics):
         """voxel: (H, W, bins) numpy/jax array; intrinsics: (4,)."""
         vscale = np.float32(1.0)
+        if self.viewer is not None and isinstance(voxel, np.ndarray):
+            self.viewer.update_image(voxel)   # host ref only (devo.py:388)
         if isinstance(voxel, tuple):          # pre-uploaded (array, scale)
             voxel, vscale = voxel
         if voxel.shape[-2] == 346:  # MVSEC/FPV width hack (devo.py:466-467)
@@ -1102,6 +1114,9 @@ class DEVO:
     def terminate(self):
         """Reconstruct the full-rate trajectory (devo.py:186-208): chain the
         stored relative deltas onto the keyframe poses, invert to c2w."""
+        if self.viewer is not None:           # devo.py:205-206
+            self.viewer.join()
+            self.viewer = None
         st = self.state
         n = int(st.n)
         counter = int(st.counter)

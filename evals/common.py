@@ -89,7 +89,7 @@ def evaluate_benchmark(benchmark: str, args) -> dict:
             traj_gt=traj_gt, tss_gt=tss_gt_us / 1e6,
             trials=args.trials, ht=H, wd=W,
             outdir=args.outdir, name=scene.replace("/", "_") or benchmark,
-            engine_cache=engine_cache,
+            engine_cache=engine_cache, viz=args.viz,
         )
         results[scene] = dict(ate_cm=med.ate, mpe=med.mpe, r_rmse=med.r_rmse,
                               fps=float(np.mean(fps)),
@@ -130,7 +130,8 @@ def _evaluate_tartanair(cfg, params, scenes, args, engine_cache) -> dict:
             traj_gt=traj_gt, tss_gt=tss_gt,
             trials=args.trials, ht=480, wd=640,
             outdir=args.outdir, name=scene.replace("/", "_") or "tartanair",
-            engine_cache=engine_cache, max_diff_s=0.5)
+            engine_cache=engine_cache, max_diff_s=0.5,
+            viz=getattr(args, "viz", False))
         results[scene] = dict(ate_cm=med.ate, mpe=med.mpe, r_rmse=med.r_rmse,
                               fps=float(np.mean(fps)),
                               ate_trials=[r.ate for r in all_res])
@@ -156,6 +157,10 @@ def make_parser(benchmark: str) -> argparse.ArgumentParser:
                         "top of the benchmark's built-in EVAL_CONFIGS entry")
     p.add_argument("--config_overrides", type=str, default=None,
                    help='JSON dict of VOConfig overrides')
+    p.add_argument("--viz", action="store_true",
+                   help="attach the live viewer on trial 0 (PNG renders of "
+                        "trajectory + point cloud under <outdir>/viz_<scene>;"
+                        " the reference's dpviewer viz=True)")
     return p
 
 
