@@ -79,10 +79,15 @@ def main():
         # the engine silently falls back to f32 for unknown values — a
         # typo'd A/B run must fail loudly, not measure the wrong config
         sys.exit(f"BENCH_WIRE={wire!r}: expected one of i8/f16/f32")
+    kern = os.environ.get("BENCH_CORR_KERNEL", "").strip().lower()
+    kern = kern or VOConfig.CORR_KERNEL
+    if kern not in ("split", "g8c"):
+        sys.exit(f"BENCH_CORR_KERNEL={kern!r}: expected split/g8c")
     cfg = VOConfig(
         MOTION_PROBE_THRESH=-1.0,
         CORR_RING_I8=ring_i8,
         VOXEL_WIRE=wire,
+        CORR_KERNEL=kern,
     )
     net = EVONet(P=cfg.P, dim_inet=cfg.DIM_INET, dim_fnet=cfg.DIM_FNET,
                  dim=cfg.DIM, patch_selector=cfg.PATCH_SELECTOR)
@@ -195,7 +200,7 @@ def main():
         "window_spread": round(spread, 3),
         # perf-triage diagnostics (VERDICT r02: the bench must be able to
         # attribute its own regressions without a human at the keyboard)
-        "config": {"ring_i8": ring_i8, "wire": wire,
+        "config": {"ring_i8": ring_i8, "wire": wire, "corr_kernel": kern,
                    "force_bucket": os.environ.get("DEVO_FORCE_BUCKET")},
         "window_upload_wait_s": [round(x, 2) for x in win_qwait],
         "window_bucket_caps": win_caps,

@@ -483,6 +483,130 @@ def _kernel_banded_g8(nlive_ref, slot_ref, row0_ref,        # scalar prefetch
         jax.lax.fori_loop(0, NG, group_body, 0)
 
 
+def _kernel_banded_g8c(nlive_ref, slot_ref, row0_ref,       # scalar prefetch
+                       gt_ref,                              # per-edge VMEM
+                       fmap_hbm,                            # (mem, rows, 24, C)
+                                                            # or flat i8
+                                                            # (mem, rows*24, C)
+                       out_ref,                             # (NGb, wr*24, 128)
+                       winw, gd, sems,
+                       *, C: int, wr: int = WIN, wi8: bool = False):
+    """Compact block-diagonal group kernel: 8 edges share ONE full-width MXU
+    matmul (as _kernel_banded_g8) but the kernel emits the raw (wr*BWIN, 128)
+    correlation surface per group with NO in-kernel extraction — the
+    extraction stage measured as the largest per-edge cost (+0.40 us/edge vs
+    DMA 0.43 / matmul 0.17, scripts/bench_banded_tune.py ablations) because
+    its per-edge dynamic-offset VMEM slices serialize on the VPU. The
+    full-lane surface goes to HBM in bf16 (12 KB/edge at wr=16, zero lane
+    padding: pixel lane = 16*j + p) and extraction + bilinear blend run as
+    static-slice + select XLA ops over all edges at once (extract_blend_g8).
+
+    NEGATIVE RESULT on real v5e (2026-08-19, scripts/bisect_g8c_compile.py):
+    this kernel alone runs 18.4 us/live-edge (19x the full split kernel) and
+    the XLA extraction alone 113 us/live-edge with a 4-minute compile — the
+    (NG, 8, 16, 128) windowed select chains lower to layout-thrashing loop
+    fusions. Kept as a probe/ablation with interpret-mode correctness tests;
+    "split" (in-kernel extraction) remains the hardware default."""
+    b = pl.program_id(0)
+    NGb = BE // G8
+
+    @pl.when(b * BE < nlive_ref[0])
+    def _run():
+        @pl.when(b == 0)
+        def _init():
+            gd[...] = jnp.zeros_like(gd)
+
+        def gdma(gi, j):
+            q = b * BE + gi * G8 + j
+            if wi8:
+                r0 = pl.multiple_of(row0_ref[q], 8)   # pre-multiplied by BWIN
+                return pltpu.make_async_copy(
+                    fmap_hbm.at[slot_ref[q], pl.ds(r0, wr * BWIN)],
+                    winw.at[gi % KW, :, pl.ds(j * C, C)],
+                    sems.at[gi % KW, j])
+            return pltpu.make_async_copy(
+                fmap_hbm.at[slot_ref[q], pl.ds(row0_ref[q], wr)],
+                winw.at[gi % KW, :, :, pl.ds(j * C, C)],
+                sems.at[gi % KW, j])
+
+        for gi in range(IFG):
+            for j in range(G8):
+                gdma(gi, j).start()
+
+        def group_body(gi, _):
+            for j in range(G8):
+                gdma(gi, j).wait()
+                gd[j * C:(j + 1) * C, 16 * j:16 * j + 16] = \
+                    gt_ref[gi * G8 + j]
+            if wi8:
+                W8 = winw[gi % KW].astype(jnp.bfloat16)
+            else:
+                W8 = winw[gi % KW].reshape(wr * BWIN, G8 * C)
+            R8 = jax.lax.dot_general(
+                W8, gd[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (wr*BWIN, 128)
+
+            @pl.when(gi + IFG < NGb)
+            def _():
+                for j in range(G8):
+                    gdma(gi + IFG, j).start()
+
+            out_ref[gi] = R8.astype(out_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, NGb, group_body, 0)
+
+
+def extract_blend_g8(R8, ry, rx8, rxo, fx, fy, mask, PP: int, wr: int,
+                     scale_e=None):
+    """Extraction + bilinear blend over the g8c kernel's compact output.
+
+    R8: (EP//G8, wr*BWIN, 128) surfaces, lane 16*j + p = edge (group, j)'s
+    pixel p. All per-edge/pixel scalars lane-map to (NG, 128) so every
+    select/blend term is a full-128-lane VPU op over STATIC slices of R8 —
+    the layout-change-free XLA replacement for the kernels' per-edge
+    dynamic-slice extraction (PERF_NOTES: static slices + select beat lane
+    gathers ~1000x; candidate count is (wr-7) * 2 = 18 at wr=16, 6 at 10).
+    Returns (EP, 49*PP) ordered [dx, dy, pixel] (blend_strips parity,
+    correlation_kernel.cu:232). `scale_e`: (EP,) per-edge dequant scale
+    (int8 rings)."""
+    NG = R8.shape[0]
+    R8 = R8.reshape(NG, wr, BWIN, 128)
+    nb = (BWIN - 16) // 8 + 1                # rx8 candidates ({0, 1} at 24)
+
+    def lanes(a, dtype=jnp.float32):         # (EP, PP) -> (NG, 128)
+        a = jnp.pad(a.astype(dtype), ((0, 0), (0, 16 - PP)))
+        return a.reshape(NG, 128)
+
+    ryl = lanes(ry, jnp.int32)
+    rxl = lanes(rx8, jnp.int32)
+    S = jnp.zeros((NG, 8, 16, 128), jnp.float32)
+    for a in range(wr - 7):
+        for c in range(nb):
+            sel = (ryl == a) & (rxl == c)
+            S = jnp.where(sel[:, None, None, :],
+                          R8[:, a:a + 8, 8 * c:8 * c + 16, :]
+                          .astype(jnp.float32), S)
+    if scale_e is not None:
+        sl = jnp.broadcast_to(
+            scale_e.astype(jnp.float32).reshape(NG, 8, 1), (NG, 8, 16)
+        ).reshape(NG, 128)
+        S = S * sl[:, None, None, :]
+
+    fyl, fxl = lanes(fy)[:, None, None, :], lanes(fx)[:, None, None, :]
+    rxol = lanes(rxo, jnp.int32)
+    Y = (1 - fyl) * S[:, :7] + fyl * S[:, 1:8]           # (NG, 7, 16, 128)
+    out = jnp.zeros((NG, 7, 7, 128), jnp.float32)
+    for k in range(8):
+        cand = (1 - fxl) * Y[:, :, k:k + 7] + fxl * Y[:, :, k + 1:k + 8]
+        out = jnp.where((rxol == k)[:, None, None, :], cand, out)
+    ml = jnp.broadcast_to(mask.reshape(NG, 8, 1), (NG, 8, 16)).reshape(NG, 128)
+    out = jnp.where(ml[:, None, None, :], out, 0.0)
+    # (NG, dy, dx, 8j*16p) -> (E, dx, dy, p) flat [dx, dy, p]
+    out = out.reshape(NG, 7, 7, 8, 16).transpose(0, 3, 2, 1, 4)[..., :PP]
+    return out.reshape(NG * 8, 7 * 7 * PP)
+
+
 def corr_level_banded(
     gmap: jnp.ndarray,     # (Mring, P, P, C) patch features (ring)
     fmap_b: jnp.ndarray,   # (mem, nbx*Hp+STAGGER, BWIN, C) bf16 banded frames
@@ -517,7 +641,8 @@ def corr_level_banded(
     wi8 = fmap_b.dtype == jnp.int8
     if wi8:
         assert scale is not None, "int8 banded rings need per-slot scales"
-        assert ablate == "split", "int8 rings implemented for 'split' only"
+        assert ablate in ("split", "g8c", "g8c_kernel_only"), \
+            "int8 rings implemented for 'split'/'g8c' only"
         mem, rowsf, C = fmap_b.shape
         rows = rowsf // BWIN
     else:
@@ -601,6 +726,45 @@ def corr_level_banded(
             out = out * s_e[:, None, None]
         from .corr import blend_strips
         return blend_strips(out, fx, fy, rxo, mask, PP)
+
+    if ablate in ("g8c", "g8c_kernel_only"):
+        gt = g.transpose(0, 2, 1)                         # (EP, C, 16)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(EP // BE,),
+            in_specs=[
+                pl.BlockSpec((BE, C, 16), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),    # g^T
+                pl.BlockSpec(memory_space=pl.ANY),        # fmap_b (HBM)
+            ],
+            out_specs=pl.BlockSpec((BE // G8, wr * BWIN, 128),
+                                   lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((KW, wr * BWIN, G8 * C), jnp.int8) if wi8
+                else pltpu.VMEM((KW, wr, BWIN, G8 * C), jnp.bfloat16),
+                pltpu.VMEM((G8 * C, 128), jnp.bfloat16),  # blockdiag g
+                pltpu.SemaphoreType.DMA((KW, G8)),
+            ],
+        )
+        R8 = pl.pallas_call(
+            functools.partial(_kernel_banded_g8c, C=C, wr=wr, wi8=wi8),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((EP // G8, wr * BWIN, 128),
+                                           jnp.bfloat16),
+        )(nlive, slot_g, row0_g, gt, fmap_b)
+        if ablate == "g8c_kernel_only":   # Mosaic-vs-XLA compile bisect
+            return R8.astype(jnp.float32).sum(axis=(1, 2))
+        padE = EP - E
+        padP = lambda a: jnp.pad(a, [(0, padE)] + [(0, 0)] * (a.ndim - 1))
+        scale_e = None
+        if wi8:
+            oh = (jj[:, None] == jnp.arange(mem)[None, :]).astype(jnp.float32)
+            scale_e = padP((oh @ scale.astype(jnp.float32))[:, None])[:, 0]
+        out = extract_blend_g8(
+            R8, padP(ry), padP(rx8), padP(rxo), padP(fx), padP(fy),
+            padP(mask[:, None])[:, 0], PP, wr, scale_e=scale_e)
+        return out[:E]
 
     if ablate == "g8":
         gt = g.transpose(0, 2, 1)                         # (EP, C, 16)
@@ -687,13 +851,16 @@ def level_win_rows(lvl: int) -> int:
 
 
 def corr_pyramid_banded(gmap, banded_pyramid, coords, kk, jj, mask, n_live,
-                        hw, radius=3, levels=(1, 4), scales=None, wins=None):
+                        hw, radius=3, levels=(1, 4), scales=None, wins=None,
+                        variant="split"):
     """Two-level pyramid over banded feature rings; output ordering matches
     ops/corr.corr_pyramid ([dx, dy, pixel, level]). `hw` is the level-0
     feature resolution (H, W) (stride 4 below the input image). `scales`:
     per-level (mem,) f32 dequant scales, required iff the rings are int8
     (band_frame_i8 flat layout). `wins`: per-level DMA window rows
-    (default level_win_rows: 16 at lvl 1, 10 at lvl 4)."""
+    (default level_win_rows: 16 at lvl 1, 10 at lvl 4). `variant`: kernel
+    flavor — "split" (phase-split in-kernel extraction) or "g8c" (compact
+    group matmul + XLA extraction)."""
     E = coords.shape[0]
     if scales is None:
         scales = (None,) * len(banded_pyramid)
@@ -713,7 +880,8 @@ def corr_pyramid_banded(gmap, banded_pyramid, coords, kk, jj, mask, n_live,
     outs = [
         corr_level_banded(gmap, fb, coords / lvl, kk, jj, mask, n_live,
                           hp=banded_shape(hw[0] // lvl, hw[1] // lvl)[1],
-                          radius=radius, g=g, scale=sc, win_rows=w)
+                          radius=radius, g=g, scale=sc, win_rows=w,
+                          ablate=variant)
         for fb, lvl, sc, w in zip(banded_pyramid, levels, scales, wins)
     ]
     return jnp.stack(outs, axis=-1).reshape(E, -1)

@@ -62,6 +62,13 @@ class VOConfig:
                                          # "window" (slice-gather + MXU),
                                          # "pallas" (grouped VMEM-resident),
                                          # "gather" (naive reference form)
+    CORR_KERNEL: str = "split"           # banded kernel flavor: "split"
+                                         #   (phase-split DMA+MXU then
+                                         #   in-kernel per-edge extraction),
+                                         # "g8c" (compact group matmul + XLA
+                                         #   extraction — measured 20-100x
+                                         #   SLOWER on real v5e, kept only
+                                         #   as a probe; PERF_NOTES r03).
     CORR_RING_I8: bool = True            # store the banded corr feature
                                          #   rings as per-frame-scaled int8
                                          #   (halves the kernel's window-DMA

@@ -359,7 +359,8 @@ def _edge_features(cfg: VOConfig, st: VOState, ii, jj, kk, mask=None):
             st.gmap, (st.fmap1b, st.fmap2b), coords, kk_ring, jj_ring, mask,
             n_live, hw=(cfg.HT // 4, cfg.WD // 4),
             radius=cfg.CORR_RADIUS, levels=cfg.CORR_LEVELS,
-            scales=(st.fsc1, st.fsc2) if st.fsc1.shape[0] else None)
+            scales=(st.fsc1, st.fsc2) if st.fsc1.shape[0] else None,
+            variant=cfg.CORR_KERNEL)
     elif impl == "pallas":
         corr_feat = corr_pallas.corr_pyramid_pallas(
             st.gmap, (st.fmap1, st.fmap2), coords, kk_ring, jj_ring, mask,

@@ -8,6 +8,7 @@ row offset (fixed with pl.multiple_of in _kernel_banded_split). This probe
 exists so kernel-layout changes are compile-checked on hardware in ~2 min
 without paying a full bench run.
 """
+import sys
 import time
 
 import numpy as np
@@ -18,6 +19,8 @@ def main():
     import jax.numpy as jnp
 
     from devo_tpu.ops import corr_pallas as cp
+
+    variant = sys.argv[1] if len(sys.argv) > 1 else "split"
 
     MEM, C = 32, 128
     H0, W0 = 120, 160          # 480x640 image -> stride-4 feature res
@@ -42,7 +45,9 @@ def main():
 
     fn = jax.jit(lambda g, r1, r2, c, k, j, m, s1, s2:
                  cp.corr_pyramid_banded(g, (r1, r2), c, k, j, m, LIVE,
-                                        hw=(H0, W0), scales=(s1, s2)))
+                                        hw=(H0, W0), scales=(s1, s2),
+                                        variant=variant))
+    print(f"variant={variant}")
     t0 = time.time()
     out = jax.block_until_ready(fn(gmap, rings[0], rings[1], coords, kk, jj,
                                    mask, scales[0], scales[1]))

@@ -165,6 +165,64 @@ def test_band_frame_i8_quantization_error_small():
 
 
 @pytest.mark.parametrize("seed", [0, 3])
+@pytest.mark.parametrize("win_rows", [16, 10])
+def test_banded_g8c_matches_xla(seed, win_rows):
+    """Compact group kernel (no in-kernel extraction; XLA extract_blend_g8)
+    must match the gather reference, at both per-level window sizes."""
+    gmap, fmap, coords, kk, jj, mask = make_case(seed, E=24)
+    gb = gmap.astype(jnp.bfloat16).astype(jnp.float32)
+    fb = fmap.astype(jnp.bfloat16).astype(jnp.float32)
+    want = corr_ops.corr(gb, fb, coords, kk, jj, radius=3)
+    want = np.asarray(want) * np.asarray(mask)[:, None]
+    fmap_b = jnp.stack([corr_pallas.band_frame(f) for f in fmap])
+    with pltpu.force_tpu_interpret_mode():
+        got = corr_pallas.corr_level_banded(
+            gmap, fmap_b, coords, kk, jj, mask, n_live=coords.shape[0],
+            hp=corr_pallas.banded_shape(32, 40)[1], ablate="g8c",
+            win_rows=win_rows)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
+
+
+def test_banded_g8c_i8_matches_xla():
+    """g8c over int8 flat-layout rings: per-edge dequant scale is applied in
+    extract_blend_g8 (lane-mapped), not in the kernel."""
+    gmap, fmap, coords, kk, jj, mask = make_case(1, E=24)
+    qs = [corr_pallas.band_frame_i8(f) for f in fmap]
+    fmap_b = jnp.stack([q for q, _ in qs])
+    scale = jnp.stack([s for _, s in qs])
+    gb = gmap.astype(jnp.bfloat16).astype(jnp.float32)
+    s = jnp.max(jnp.abs(fmap), axis=(1, 2, 3), keepdims=True) / 127.0
+    fq = jnp.clip(jnp.round(fmap / s), -127, 127) * s
+    want = corr_ops.corr(gb, fq, coords, kk, jj, radius=3)
+    want = np.asarray(want) * np.asarray(mask)[:, None]
+    with pltpu.force_tpu_interpret_mode():
+        got = corr_pallas.corr_level_banded(
+            gmap, fmap_b, coords, kk, jj, mask, n_live=coords.shape[0],
+            hp=corr_pallas.banded_shape(32, 40)[1], scale=scale,
+            ablate="g8c")
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
+
+
+def test_banded_g8c_early_exit_blocks():
+    """Blocks past n_live skip; the compact output for them is uninitialized
+    and extract_blend_g8's mask select must still zero those edges."""
+    E = 2 * corr_pallas.BE
+    gmap, fmap, coords, kk, jj, _ = make_case(4, E=E)
+    live = corr_pallas.BE - 8
+    mask = jnp.arange(E) < live
+    gb = gmap.astype(jnp.bfloat16).astype(jnp.float32)
+    fb = fmap.astype(jnp.bfloat16).astype(jnp.float32)
+    want = corr_ops.corr(gb, fb, coords, kk, jj, radius=3)
+    want = np.asarray(want) * np.asarray(mask)[:, None]
+    fmap_b = jnp.stack([corr_pallas.band_frame(f) for f in fmap])
+    with pltpu.force_tpu_interpret_mode():
+        got = corr_pallas.corr_level_banded(
+            gmap, fmap_b, coords, kk, jj, mask, n_live=live, ablate="g8c",
+            hp=corr_pallas.banded_shape(32, 40)[1])
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
 def test_banded_g8_matches_xla(seed):
     """The block-diagonal group kernel must be numerically identical to the
     per-edge kernel path (same taps, one matmul per 8 edges)."""

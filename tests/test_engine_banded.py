@@ -25,6 +25,9 @@ N_FRAMES = 18  # past init (8) + keyframe window: culls + ring shifts occur
 @pytest.mark.slow
 @pytest.mark.parametrize("i8", [False, True], ids=["bf16", "i8"])
 def test_engine_banded_matches_oracle(i8, monkeypatch):
+    # CORR_KERNEL="g8c" is correctness-covered at the kernel level
+    # (test_corr_pallas.py); it is a hardware-rejected probe (PERF_NOTES
+    # r03), so the engine-level matrix only runs the shipping "split".
     monkeypatch.setenv("DEVO_CORR_INTERPRET", "1")
     cfg = CFG.replace(CORR_IMPL="banded", CORR_RING_I8=i8)
     with pltpu.force_tpu_interpret_mode():
