@@ -348,6 +348,7 @@ IFG = 2          # group DMA batches in flight
 
 
 def _kernel_banded_split(nlive_ref, slot_ref, row0_ref,     # scalar prefetch
+                         scale_ref,                         # (EP,) f32 SMEM
                          g_ref, ry_ref, rx_ref,             # per-edge VMEM
                          fmap_hbm,                          # (mem, rows, 24, C)
                                                             # or flat i8
@@ -364,7 +365,11 @@ def _kernel_banded_split(nlive_ref, slot_ref, row0_ref,     # scalar prefetch
     wi8: the banded ring is int8 in the flat (rows*BWIN, C) layout
     (band_frame_i8); row0 arrives pre-multiplied by BWIN and the window
     converts to bf16 right before the matmul (a (384, C) VPU convert,
-    ~50 ns — the DMA byte halving is the point)."""
+    ~50 ns — the DMA byte halving is the point). The per-edge dequant
+    scale is applied IN the extraction store (scale_ref scalar prefetch):
+    doing it post-kernel in XLA cost 0.25 ms of broadcast-multiply plus a
+    0.11 ms layout copy per level (profile r03, broadcast_multiply_fusion
+    + copy.2863)."""
     b = pl.program_id(0)
 
     @pl.when(b * BE < nlive_ref[0])
@@ -412,7 +417,10 @@ def _kernel_banded_split(nlive_ref, slot_ref, row0_ref,     # scalar prefetch
                 rx8 = pl.multiple_of(rx_ref[e, p] * 8, 8)
                 parts.append(rbuf[e, pl.ds(ry_ref[e, p], 8),
                                   pl.ds(rx8, 16), p])
-            out_ref[e] = jnp.concatenate(parts, axis=1).astype(jnp.float32)
+            strips = jnp.concatenate(parts, axis=1).astype(jnp.float32)
+            if wi8:
+                strips = strips * scale_ref[b * BE + e]
+            out_ref[e] = strips
             return 0
 
         jax.lax.fori_loop(0, BE, ext_body, 0)
@@ -689,8 +697,19 @@ def corr_level_banded(
         ry_g, rx_g, g = pad1(ry_g), pad1(rx_g), pad1(g)
 
     if ablate == "split":
+        if wi8:
+            # per-edge dequant scale, applied in-kernel at the extraction
+            # store. (E, mem) one-hot matmul — a fancy gather of the (mem,)
+            # scale table would lower to a serial loop.
+            oh = (jnp.where(mask, jj, 0)[:, None]
+                  == jnp.arange(mem)[None, :]).astype(jnp.float32)
+            s_e = oh @ scale.astype(jnp.float32)
+            if EP != E:
+                s_e = jnp.pad(s_e, (0, EP - E))
+        else:
+            s_e = jnp.zeros((EP,), jnp.float32)   # unused (wi8=False)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(EP // BE,),
             in_specs=[
                 pl.BlockSpec((BE, 16, C), lambda b, *_: (b, 0, 0),
@@ -715,17 +734,9 @@ def corr_level_banded(
                               wi8=wi8),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((EP, 8, 16 * PP), jnp.float32),
-        )(nlive, slot_g, row0_g, g, ry_g, rx_g, fmap_b)
-        out = out[:E]
-        if wi8:
-            # dequantize: corr is linear in f, one per-edge scalar restores
-            # magnitudes. (E, mem) one-hot matmul — a (E,) fancy gather of
-            # the (mem,) scale table would lower to a serial loop.
-            oh = (jj[:, None] == jnp.arange(mem)[None, :]).astype(jnp.float32)
-            s_e = oh @ scale.astype(jnp.float32)
-            out = out * s_e[:, None, None]
+        )(nlive, slot_g, row0_g, s_e, g, ry_g, rx_g, fmap_b)
         from .corr import blend_strips
-        return blend_strips(out, fx, fy, rxo, mask, PP)
+        return blend_strips(out[:E], fx, fy, rxo, mask, PP)
 
     if ablate in ("g8c", "g8c_kernel_only"):
         gt = g.transpose(0, 2, 1)                         # (EP, C, 16)
@@ -850,6 +861,190 @@ def level_win_rows(lvl: int) -> int:
     return 8 + max(-(-8 // lvl), 1)
 
 
+# =========================================================================
+# Level-4 VMEM-resident kernel.
+#
+# The engine trace (profile r03) shows each pyramid level's pallas call at
+# ~5 ms despite level 4 moving 37% fewer bytes: the per-edge window DMA is
+# ISSUE-bound, not byte-bound — every live edge costs one descriptor per
+# level regardless of size. Level 4's whole ring is tiny (30x40x128 i8 x 32
+# slots ~= 5 MB + pad), so instead of 1 descriptor/edge the kernel below
+# copies ALL slots HBM->VMEM once per call (ONE descriptor, ~13 us at HBM
+# bandwidth) and slices every window directly out of VMEM. Requires int8
+# rings (bf16 would be 21 MB — over the ~16 MB VMEM budget at 480x640);
+# gated on footprint by the engine (VOConfig.CORR_L4_RESIDENT).
+# =========================================================================
+
+L4PADY = 8       # y zero border: >= 8 (8-row strip fallback for far-off-
+                 # image pixels must land in zeros) and >= wr - 4 = 6
+                 # (bottom window overhang after the y0 clip)
+L4PADX = 12      # left x border: >= 9 (blend reads cols 0..8 of a window
+                 # whose rx clipped to 0 — all must be zeros, mirroring the
+                 # banded kernel's PAD=12 guarantee)
+
+
+def l4_shape(h4: int, w4: int):
+    """Padded (HP, WP) for the resident level-4 layout. WP is a multiple
+    of 8 (sublane-aligned x window starts) with >= 9 right-pad columns
+    past W4 + L4PADX: a far-off-image pixel's rx clips to BWIN - 9, and
+    its blended columns x8max + 15 .. x8max + 23 must all be zeros."""
+    hp = h4 + 2 * L4PADY
+    wp = ((w4 + L4PADX + 9 + 7) // 8) * 8
+    return hp, wp
+
+
+def pad_frame_l4_i8(fmap_hw: jnp.ndarray):
+    """(H4, W4, C) level-4 feature frame -> ((HP, WP, C) i8, () f32 scale):
+    plain zero-padded layout (no banding — windows are sliced from VMEM, so
+    there is no DMA-contiguity constraint to satisfy)."""
+    H, W, C = fmap_hw.shape
+    hp, wp = l4_shape(H, W)
+    f = fmap_hw.astype(jnp.float32)
+    s = jnp.max(jnp.abs(f)) / 127.0
+    s = jnp.where(s > 0, s, 1.0)
+    q = jnp.clip(jnp.round(f / s), -127, 127).astype(jnp.int8)
+    q = jnp.pad(q, ((L4PADY, hp - H - L4PADY), (L4PADX, wp - W - L4PADX),
+                    (0, 0)))
+    return q, s.astype(jnp.float32)
+
+
+def _kernel_l4_resident(nlive_ref, slot_ref, y0_ref, x0_ref,  # scalar prefetch
+                        scale_ref,                            # (EP,) f32 SMEM
+                        g_ref, ry_ref, rx_ref,                # per-edge VMEM
+                        fmap_hbm,                             # (mem, HP, WP, C)
+                        out_ref,
+                        ring, rbuf, sem,
+                        *, C: int, PP: int, wr: int):
+    """Split-kernel twin with the per-edge window DMA replaced by VMEM
+    slices of the whole resident ring (loaded once at block 0; scratch
+    persists across the sequential TPU grid)."""
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _load():
+        cp = pltpu.make_async_copy(fmap_hbm, ring, sem)
+        cp.start()
+        cp.wait()
+
+    @pl.when(b * BE < nlive_ref[0])
+    def _run():
+        def mm_body(e, _):
+            q = b * BE + e
+            x0 = pl.multiple_of(x0_ref[q], 8)
+            w = ring[slot_ref[q], pl.ds(y0_ref[q], wr), pl.ds(x0, BWIN), :]
+            w2 = w.reshape(wr * BWIN, C).astype(jnp.bfloat16)
+            R = jax.lax.dot_general(
+                w2, g_ref[e], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            rbuf[e] = R.reshape(wr, BWIN, 16).astype(rbuf.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, BE, mm_body, 0)
+
+        def ext_body(e, _):
+            parts = []
+            for p in range(PP):
+                rx8 = pl.multiple_of(rx_ref[e, p] * 8, 8)
+                parts.append(rbuf[e, pl.ds(ry_ref[e, p], 8),
+                                  pl.ds(rx8, 16), p])
+            strips = jnp.concatenate(parts, axis=1).astype(jnp.float32)
+            out_ref[e] = strips * scale_ref[b * BE + e]
+            return 0
+
+        jax.lax.fori_loop(0, BE, ext_body, 0)
+
+
+def corr_level_l4_resident(
+    gmap: jnp.ndarray,     # (Mring, P, P, C) patch features (ring)
+    fmap_p: jnp.ndarray,   # (mem, HP, WP, C) i8 padded level-4 rings
+    coords: jnp.ndarray,   # (E, P, P, 2) at level-4 resolution
+    kk: jnp.ndarray,       # (E,) ring patch index
+    jj: jnp.ndarray,       # (E,) ring frame slot
+    mask: jnp.ndarray,     # (E,) bool
+    n_live,                # () int32 packed live-edge count (<= E)
+    radius: int = 3,
+    g=None,                # (E, 16, C) bf16 pre-looked-up patch features
+    scale=None,            # (mem,) f32 per-slot dequant scales
+    win_rows: int = 10,
+) -> jnp.ndarray:
+    """(E, 49*PP) correlation ordered [dx, dy, pixel] — level-4, resident
+    rings. Semantics identical to corr_level_banded (same clipping-into-
+    zero-pad off-image behavior; L4PADY/L4PADX vs PAD=12 only slide windows
+    within zero regions)."""
+    assert radius == 3, "window constants assume r = 3"
+    assert fmap_p.dtype == jnp.int8 and scale is not None, \
+        "resident level-4 requires int8 rings + per-slot scales"
+    wr = win_rows
+    mem, HP, WP, C = fmap_p.shape
+    E, P = coords.shape[0], coords.shape[1]
+    PP = P * P
+
+    x = coords[..., 0].reshape(E, PP).astype(jnp.float32)
+    y = coords[..., 1].reshape(E, PP).astype(jnp.float32)
+    xf = jnp.floor(x)
+    yf = jnp.floor(y)
+    fx = (x - xf).astype(jnp.float32)
+    fy = (y - yf).astype(jnp.float32)
+    xf = xf.astype(jnp.int32)
+    yf = yf.astype(jnp.int32)
+
+    y0 = jnp.clip(jnp.min(yf, axis=1) - radius + L4PADY, 0, HP - wr)
+    x8 = jnp.clip(((jnp.min(xf, axis=1) - radius + L4PADX) // 8) * 8,
+                  0, WP - BWIN)
+    rx = jnp.clip(xf - radius + L4PADX - x8[:, None], 0, BWIN - 9)
+    ry = jnp.clip(yf - radius + L4PADY - y0[:, None], 0, wr - 8)
+    rx8 = rx // 8
+    rxo = rx - rx8 * 8
+
+    if g is None:
+        g = lookup_g(gmap, kk, mask)
+
+    slot_g = jnp.where(mask, jj, 0).astype(jnp.int32)
+    y0_g = jnp.where(mask, y0, 0).astype(jnp.int32)
+    x0_g = jnp.where(mask, x8, 0).astype(jnp.int32)
+    ry_g = jnp.pad(ry, ((0, 0), (0, 16 - PP))).astype(jnp.int32)
+    rx_g = jnp.pad(rx8, ((0, 0), (0, 16 - PP))).astype(jnp.int32)
+    nlive = jnp.asarray(n_live, jnp.int32).reshape(1)
+
+    oh = (slot_g[:, None] == jnp.arange(mem)[None, :]).astype(jnp.float32)
+    s_e = oh @ scale.astype(jnp.float32)
+
+    EP = ((E + BE - 1) // BE) * BE
+    if EP != E:
+        padn = EP - E
+        pad1 = lambda a: jnp.pad(a, [(0, padn)] + [(0, 0)] * (a.ndim - 1))
+        slot_g, y0_g, x0_g = pad1(slot_g), pad1(y0_g), pad1(x0_g)
+        ry_g, rx_g, g, s_e = pad1(ry_g), pad1(rx_g), pad1(g), pad1(s_e)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(EP // BE,),
+        in_specs=[
+            pl.BlockSpec((BE, 16, C), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),    # g
+            pl.BlockSpec((BE, 16), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),    # ry
+            pl.BlockSpec((BE, 16), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),    # rx8
+            pl.BlockSpec(memory_space=pl.ANY),        # fmap_p (HBM)
+        ],
+        out_specs=pl.BlockSpec((BE, 8, 16 * PP), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((mem, HP, WP, C), jnp.int8),   # resident rings
+            pltpu.VMEM((BE, wr, BWIN, 16), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_l4_resident, C=C, PP=PP, wr=wr),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((EP, 8, 16 * PP), jnp.float32),
+    )(nlive, slot_g, y0_g, x0_g, s_e, g, ry_g, rx_g, fmap_p)
+    from .corr import blend_strips
+    return blend_strips(out[:E], fx, fy, rxo, mask, PP)
+
+
 def corr_pyramid_banded(gmap, banded_pyramid, coords, kk, jj, mask, n_live,
                         hw, radius=3, levels=(1, 4), scales=None, wins=None,
                         variant="split"):
@@ -860,17 +1055,30 @@ def corr_pyramid_banded(gmap, banded_pyramid, coords, kk, jj, mask, n_live,
     (band_frame_i8 flat layout). `wins`: per-level DMA window rows
     (default level_win_rows: 16 at lvl 1, 10 at lvl 4). `variant`: kernel
     flavor — "split" (phase-split in-kernel extraction) or "g8c" (compact
-    group matmul + XLA extraction)."""
+    group matmul + XLA extraction).
+
+    A level whose ring is 4-D int8 (pad_frame_l4_i8 layout) dispatches to
+    the VMEM-resident kernel instead of the banded-DMA one (the engine
+    gates this on VMEM footprint, VOConfig.CORR_L4_RESIDENT)."""
     E = coords.shape[0]
     if scales is None:
         scales = (None,) * len(banded_pyramid)
     if wins is None:
         wins = tuple(level_win_rows(lvl) for lvl in levels)
-    # `hw` must be the resolution the banded rings were built at: a caller
-    # passing a mismatched cfg.HT/WD would get wrong row0 addressing and
+    # `hw` must be the resolution the rings were built at: a caller passing
+    # a mismatched cfg.HT/WD would get wrong row0 addressing and
     # silently-garbage correlations (band_frame rows = nbx*Hp + STAGGER)
+    def _resident(fb):
+        return fb.dtype == jnp.int8 and fb.ndim == 4
     for fb, lvl in zip(banded_pyramid, levels):
-        want = banded_shape(hw[0] // lvl, hw[1] // lvl)[0]
+        h, w = hw[0] // lvl, hw[1] // lvl
+        if _resident(fb):
+            want, got = l4_shape(h, w), tuple(fb.shape[1:3])
+            assert got == want, (
+                f"resident ring dims {got} != {want} expected for hw={hw} "
+                f"level {lvl}")
+            continue
+        want = banded_shape(h, w)[0]
         got = fb.shape[1] // BWIN if fb.dtype == jnp.int8 else fb.shape[1]
         assert got == want, (
             f"banded ring rows {got} != {want} expected for "
@@ -878,6 +1086,9 @@ def corr_pyramid_banded(gmap, banded_pyramid, coords, kk, jj, mask, n_live,
             f"rings were banded at")
     g = lookup_g(gmap, kk, mask)          # shared by both levels
     outs = [
+        corr_level_l4_resident(gmap, fb, coords / lvl, kk, jj, mask, n_live,
+                               radius=radius, g=g, scale=sc, win_rows=w)
+        if _resident(fb) else
         corr_level_banded(gmap, fb, coords / lvl, kk, jj, mask, n_live,
                           hp=banded_shape(hw[0] // lvl, hw[1] // lvl)[1],
                           radius=radius, g=g, scale=sc, win_rows=w,

@@ -69,6 +69,20 @@ class VOConfig:
                                          #   extraction — measured 20-100x
                                          #   SLOWER on real v5e, kept only
                                          #   as a probe; PERF_NOTES r03).
+    CORR_L4_RESIDENT: str = "off"        # level-4 ring layout: "on" = plain
+                                         #   padded i8 rings, whole ring set
+                                         #   VMEM-resident in the corr kernel
+                                         #   (ONE DMA descriptor per call
+                                         #   instead of one per edge).
+                                         #   Measured +13 ms/pyramid-call on
+                                         #   real v5e vs banded-DMA — a
+                                         #   hardware-REJECTED probe, kept
+                                         #   off (PERF_NOTES r03),
+                                         # "off" = banded-DMA level 4 (the
+                                         #   measured-fastest default),
+                                         # "auto" = on iff the ring set fits
+                                         #   the VMEM budget (requires
+                                         #   CORR_RING_I8)
     CORR_RING_I8: bool = True            # store the banded corr feature
                                          #   rings as per-frame-scaled int8
                                          #   (halves the kernel's window-DMA

@@ -139,6 +139,26 @@ def _use_banded(cfg: VOConfig) -> bool:
     return _impl_active(cfg) == "banded"
 
 
+def _l4_resident(cfg: VOConfig, ht: int, wd: int) -> bool:
+    """Whether the level-4 ring uses the VMEM-resident layout
+    (pad_frame_l4_i8): one DMA descriptor per corr call instead of one per
+    edge (the per-edge window DMA is issue-bound — PERF_NOTES r03). "auto"
+    enables it when the whole ring set fits a conservative VMEM budget
+    (the kernel also needs its R-buffer, g block and output block)."""
+    if not _use_banded(cfg) or cfg.CORR_L4_RESIDENT == "off":
+        return False
+    if not cfg.CORR_RING_I8:
+        if cfg.CORR_L4_RESIDENT == "on":
+            raise ValueError("CORR_L4_RESIDENT='on' requires CORR_RING_I8 "
+                             "(bf16 rings double the VMEM footprint)")
+        return False
+    hp, wp = corr_pallas.l4_shape(ht // 16, wd // 16)
+    mb = cfg.MEM * hp * wp * cfg.DIM_FNET / 2**20
+    if cfg.CORR_L4_RESIDENT == "on":
+        return True
+    return mb <= 12.0
+
+
 def init_state(cfg: VOConfig, ht: int, wd: int, seed: int = 0,
                edge_cap: int = None) -> VOState:
     N, M, P = cfg.BUFFER_SIZE, cfg.M, cfg.P
@@ -167,7 +187,9 @@ def init_state(cfg: VOConfig, ht: int, wd: int, seed: int = 0,
                          + (cfg.DIM_FNET,),
                          jnp.int8 if cfg.CORR_RING_I8 else jnp.bfloat16),
         fmap2b=jnp.zeros((mem if banded else 0,)
-                         + _banded_dims(h1 // 4, w1 // 4, cfg.CORR_RING_I8)
+                         + (corr_pallas.l4_shape(h1 // 4, w1 // 4)
+                            if _l4_resident(cfg, ht, wd) else
+                            _banded_dims(h1 // 4, w1 // 4, cfg.CORR_RING_I8))
                          + (cfg.DIM_FNET,),
                          jnp.int8 if cfg.CORR_RING_I8 else jnp.bfloat16),
         fsc1=jnp.ones((mem if banded and cfg.CORR_RING_I8 else 0,),
@@ -622,12 +644,17 @@ def _write_frame(net: EVONet, params, cfg: VOConfig, st: VOState,
 
 def _banded_writes(st: VOState, slot, fmap, fmap2, banded: bool):
     """Ring writes for the banded corr buffers: bf16 (rows, BWIN, C) slabs,
-    or with CORR_RING_I8 the flat int8 layout + per-slot dequant scales."""
+    or with CORR_RING_I8 the flat int8 layout + per-slot dequant scales.
+    A 4-D fmap2b ring means the level-4 VMEM-resident layout is active
+    (CORR_L4_RESIDENT): plain padded i8 frames instead of banded ones."""
     if not banded:
         return {}
     if st.fsc1.shape[0] > 0:                  # int8 rings
         q1, s1 = corr_pallas.band_frame_i8(fmap)
-        q2, s2 = corr_pallas.band_frame_i8(fmap2)
+        if st.fmap2b.ndim == 4:
+            q2, s2 = corr_pallas.pad_frame_l4_i8(fmap2)
+        else:
+            q2, s2 = corr_pallas.band_frame_i8(fmap2)
         return dict(fmap1b=st.fmap1b.at[slot].set(q1),
                     fmap2b=st.fmap2b.at[slot].set(q2),
                     fsc1=st.fsc1.at[slot].set(s1),

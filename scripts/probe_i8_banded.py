@@ -43,29 +43,42 @@ def main():
     coords = jnp.asarray(np.stack([x, y], -1).reshape(E, P, P, 2), jnp.float32)
     mask = jnp.asarray(np.arange(E) < LIVE)
 
-    fn = jax.jit(lambda g, r1, r2, c, k, j, m, s1, s2:
-                 cp.corr_pyramid_banded(g, (r1, r2), c, k, j, m, LIVE,
-                                        hw=(H0, W0), scales=(s1, s2),
-                                        variant=variant))
+    # timing: dependent chain INSIDE one jit. A host-side chain pays one
+    # tunnel round-trip per iteration — in degraded tunnel states (7+ ms
+    # RTT observed r03) that swamps the device time being measured; and
+    # the platform elides repeated value-identical dispatches, so the
+    # chain must be data-dependent (PERF_NOTES.md). All arrays are jit
+    # ARGUMENTS — closure-captured arrays become HLO constants and
+    # overflow the axon remote-compile request (HTTP 413).
+    NIT = 32
+
+    @jax.jit
+    def chain(g, r1, r2, c, k, j, m, s1, s2):
+        def pyr(ci):
+            return cp.corr_pyramid_banded(g, (r1, r2), ci, k, j, m, LIVE,
+                                          hw=(H0, W0), scales=(s1, s2),
+                                          variant=variant)
+
+        def body(_, carry):
+            o, ci = carry
+            c2 = ci + (o[:, :1, None, None] * 1e-12).astype(ci.dtype)
+            return pyr(c2), ci
+        o, _ = jax.lax.fori_loop(0, NIT, body, (pyr(c), c))
+        return o
+
     print(f"variant={variant}")
     t0 = time.time()
-    out = jax.block_until_ready(fn(gmap, rings[0], rings[1], coords, kk, jj,
-                                   mask, scales[0], scales[1]))
+    out = jax.block_until_ready(chain(gmap, rings[0], rings[1], coords,
+                                      kk, jj, mask, scales[0], scales[1]))
     print(f"compiled+ran in {time.time() - t0:.1f}s; out {out.shape} "
           f"finite={bool(jnp.isfinite(out).all())} "
           f"max={float(jnp.abs(out).max()):.3f}")
 
-    # timing: dependent chain (the platform elides repeated identical
-    # dispatches — PERF_NOTES.md)
-    o = out
     t0 = time.time()
-    NIT = 20
-    for i in range(NIT):
-        c2 = coords + (o[:, :1, None, None] * 1e-12).astype(coords.dtype)
-        o = fn(gmap, rings[0], rings[1], c2, kk, jj, mask,
-               scales[0], scales[1])
-    jax.block_until_ready(o)
-    dt = (time.time() - t0) / NIT
+    out = jax.block_until_ready(chain(gmap, rings[0], rings[1],
+                                      coords + 1e-3, kk, jj, mask,
+                                      scales[0], scales[1]))
+    dt = (time.time() - t0) / (NIT + 1)
     print(f"chained pyramid call: {dt * 1e3:.2f} ms "
           f"({dt / LIVE * 1e6:.2f} us/live-edge, 2 levels)")
 

@@ -237,3 +237,57 @@ def test_banded_g8_matches_xla(seed):
             gmap, fmap_b, coords, kk, jj, mask, n_live=coords.shape[0],
             hp=corr_pallas.banded_shape(32, 40)[1], ablate="g8")
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
+
+
+@pytest.mark.parametrize("seed", [0, 3, 7])
+def test_l4_resident_matches_xla(seed):
+    """VMEM-resident level-4 kernel vs the gather reference on int8-exact
+    quantized frames (dequant scale applied in-kernel)."""
+    gmap, fmap, coords, kk, jj, mask = make_case(seed, E=24)
+    qs = [corr_pallas.pad_frame_l4_i8(f) for f in fmap]
+    fmap_p = jnp.stack([q for q, _ in qs])
+    scale = jnp.stack([s for _, s in qs])
+    gb = gmap.astype(jnp.bfloat16).astype(jnp.float32)
+    s4 = jnp.max(jnp.abs(fmap), axis=(1, 2, 3), keepdims=True) / 127.0
+    fq = jnp.clip(jnp.round(fmap / s4), -127, 127) * s4
+    want = corr_ops.corr(gb, fq, coords, kk, jj, radius=3)
+    want = np.asarray(want) * np.asarray(mask)[:, None]
+    with pltpu.force_tpu_interpret_mode():
+        got = corr_pallas.corr_level_l4_resident(
+            gmap, fmap_p, coords, kk, jj, mask, n_live=coords.shape[0],
+            scale=scale)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
+
+
+def test_l4_resident_early_exit_blocks():
+    """Blocks past n_live skip; outputs for dead edges must still be zero
+    through the blend mask."""
+    E = 2 * corr_pallas.BE
+    gmap, fmap, coords, kk, jj, _ = make_case(4, E=E)
+    live = corr_pallas.BE - 8
+    mask = jnp.arange(E) < live
+    qs = [corr_pallas.pad_frame_l4_i8(f) for f in fmap]
+    fmap_p = jnp.stack([q for q, _ in qs])
+    scale = jnp.stack([s for _, s in qs])
+    gb = gmap.astype(jnp.bfloat16).astype(jnp.float32)
+    s4 = jnp.max(jnp.abs(fmap), axis=(1, 2, 3), keepdims=True) / 127.0
+    fq = jnp.clip(jnp.round(fmap / s4), -127, 127) * s4
+    want = corr_ops.corr(gb, fq, coords, kk, jj, radius=3)
+    want = np.asarray(want) * np.asarray(mask)[:, None]
+    with pltpu.force_tpu_interpret_mode():
+        got = corr_pallas.corr_level_l4_resident(
+            gmap, fmap_p, coords, kk, jj, mask, n_live=live, scale=scale)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
+
+
+def test_l4_resident_out_of_bounds_taps_zero():
+    gmap, fmap, coords, kk, jj, mask = make_case(
+        seed=2, E=8, coord_range=(-300, -200))
+    qs = [corr_pallas.pad_frame_l4_i8(f) for f in fmap]
+    fmap_p = jnp.stack([q for q, _ in qs])
+    scale = jnp.stack([s for _, s in qs])
+    with pltpu.force_tpu_interpret_mode():
+        got = corr_pallas.corr_level_l4_resident(
+            gmap, fmap_p, coords, kk, jj, mask, n_live=coords.shape[0],
+            scale=scale)
+    np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-6)
