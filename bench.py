@@ -81,8 +81,9 @@ def main():
         sys.exit(f"BENCH_WIRE={wire!r}: expected one of i8/f16/f32")
     kern = os.environ.get("BENCH_CORR_KERNEL", "").strip().lower()
     kern = kern or VOConfig.CORR_KERNEL
-    if kern not in ("split", "g8c"):
-        sys.exit(f"BENCH_CORR_KERNEL={kern!r}: expected split/g8c")
+    if kern not in ("split", "split2", "pair", "g8c"):
+        sys.exit(f"BENCH_CORR_KERNEL={kern!r}: expected "
+                 "split/split2/pair/g8c")
     cfg = VOConfig(
         MOTION_PROBE_THRESH=-1.0,
         CORR_RING_I8=ring_i8,
@@ -161,21 +162,28 @@ def main():
     # PERF_NOTES.md "Measurement rules")
     WINDOWS = 4
     per = N_BENCH // WINDOWS
-    win_fps, win_qwait, win_caps, win_live = [], [], [], []
+    win_fps, win_qwait, win_caps, win_live, win_disp = [], [], [], [], []
     t_all0 = time.perf_counter()
     for w in range(WINDOWS):
         t0 = time.perf_counter()
         qwait = 0.0
+        disp = 0.0
         caps = set()
         for _ in range(per):
             tq = time.perf_counter()
             i, vox = q.get()
             qwait += time.perf_counter() - tq
+            td = time.perf_counter()
             slam(i / 30.0, vox, intr)
+            # host-side dispatch cost (returns before device completion):
+            # if this approaches the device step time, the bench is
+            # HOST-dispatch-bound, not engine-bound
+            disp += time.perf_counter() - td
             caps.add(slam.state.ii.shape[0])
         jax.block_until_ready(slam.state.poses)
         win_fps.append(per / (time.perf_counter() - t0))
         win_qwait.append(qwait)
+        win_disp.append(disp)
         win_caps.append(sorted(caps))
         # one sync live-edge read per window boundary (~31 ms tunnel
         # round-trip, outside the block_until_ready'd window timing above
@@ -203,6 +211,7 @@ def main():
         "config": {"ring_i8": ring_i8, "wire": wire, "corr_kernel": kern,
                    "force_bucket": os.environ.get("DEVO_FORCE_BUCKET")},
         "window_upload_wait_s": [round(x, 2) for x in win_qwait],
+        "window_dispatch_s": [round(x, 2) for x in win_disp],
         "window_bucket_caps": win_caps,
         "window_end_live_edges": win_live,
     }))

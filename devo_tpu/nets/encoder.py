@@ -93,14 +93,26 @@ class Scorer(nn.Module):
     Four VALID-padded 3x3 convs (bins->8->16->32->1) + 4x4 max pool; output
     resolution is ((H-8)//4, (W-8)//4), one score per 4x4 cell at 1/4 res.
     Input (N, H, W, bins) -> (N, h2, w2).
+
+    `dtype` is the compute dtype (params stay f32): the tiny channel counts
+    (5->8->16->32->1) pad to 128 lanes in every full-resolution intermediate
+    on TPU, so the stack is bandwidth-bound on padded bytes — bf16 halves
+    them (profile r03: 1.6 ms/frame of the engine step at f32). Scores only
+    feed sigmoid -> multinomial sampling, far below bf16 noise.
     """
     bins: int = 5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Conv(8, (3, 3), padding="VALID", name="scorer_0")(x))
-        x = nn.relu(nn.Conv(16, (3, 3), padding="VALID", name="scorer_2")(x))
-        x = nn.relu(nn.Conv(32, (3, 3), padding="VALID", name="scorer_4")(x))
-        x = nn.Conv(1, (3, 3), padding="VALID", name="scorer_6")(x)
+        x = x.astype(self.dtype)
+        x = nn.relu(nn.Conv(8, (3, 3), padding="VALID", name="scorer_0",
+                            dtype=self.dtype)(x))
+        x = nn.relu(nn.Conv(16, (3, 3), padding="VALID", name="scorer_2",
+                            dtype=self.dtype)(x))
+        x = nn.relu(nn.Conv(32, (3, 3), padding="VALID", name="scorer_4",
+                            dtype=self.dtype)(x))
+        x = nn.Conv(1, (3, 3), padding="VALID", name="scorer_6",
+                    dtype=self.dtype)(x)
         x = nn.max_pool(x, (4, 4), strides=(4, 4))
-        return x[..., 0]
+        return x[..., 0].astype(jnp.float32)

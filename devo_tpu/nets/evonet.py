@@ -34,6 +34,10 @@ class Patchifier(nn.Module):
     patch_selector: str = "scorer"
     dtype: jnp.dtype = jnp.float32
     bins: int = 5
+    fused_encoders: bool = False   # evaluate fnet+inet as ONE block-diagonal
+                                   # network (nets/fused_encoder.py): exact,
+                                   # halves the lane-padded stage-1 traffic
+                                   # on TPU. Params/init are unchanged.
 
     def setup(self):
         self.fnet = BasicEncoder4Evs(output_dim=self.dim_fnet, dim=self.dim,
@@ -43,7 +47,8 @@ class Patchifier(nn.Module):
                                      norm_fn="none", name="inet",
                                      dtype=self.dtype)
         if self.patch_selector == "scorer":
-            self.scorer = Scorer(bins=self.bins, name="scorer")
+            self.scorer = Scorer(bins=self.bins, name="scorer",
+                                 dtype=self.dtype)
 
     def __call__(
         self,
@@ -57,8 +62,16 @@ class Patchifier(nn.Module):
     ) -> Dict[str, Any]:
         n, H, W, _ = voxels.shape
         P = self.patch_size
-        fmap = (self.fnet(voxels) / 4.0).astype(jnp.float32)   # (n, h, w, dim_fnet)
-        imap = (self.inet(voxels) / 4.0).astype(jnp.float32)   # (n, h, w, dim_inet)
+        if self.fused_encoders and not self.is_initializing():
+            from .fused_encoder import fused_encode
+            fmap, imap = fused_encode(self.variables["params"]["fnet"],
+                                      self.variables["params"]["inet"],
+                                      voxels, dtype=self.dtype)
+            fmap = (fmap / 4.0).astype(jnp.float32)
+            imap = (imap / 4.0).astype(jnp.float32)
+        else:
+            fmap = (self.fnet(voxels) / 4.0).astype(jnp.float32)   # (n, h, w, dim_fnet)
+            imap = (self.inet(voxels) / 4.0).astype(jnp.float32)   # (n, h, w, dim_inet)
         h, w = fmap.shape[1:3]
 
         scores_sel = None
@@ -122,12 +135,14 @@ class EVONet(nn.Module):
     patch_selector: str = "scorer"
     dtype: jnp.dtype = jnp.float32   # bf16 under mixed precision (devo.py:71-74)
     bins: int = 5                    # 5 voxel bins; 3 for RGB frames (VONet)
+    fused_encoders: bool = False     # see Patchifier.fused_encoders
 
     def setup(self):
         self.patchify = Patchifier(
             patch_size=self.P, dim_inet=self.dim_inet, dim_fnet=self.dim_fnet,
             dim=self.dim, patch_selector=self.patch_selector, name="patchify",
-            dtype=self.dtype, bins=self.bins)
+            dtype=self.dtype, bins=self.bins,
+            fused_encoders=self.fused_encoders)
         self.update = Update(dim=self.dim_inet,
                              corr_dim=2 * 49 * self.P * self.P, name="update",
                              dtype=self.dtype)

@@ -46,12 +46,18 @@ from jax.experimental.pallas import tpu as pltpu
 WIN = 16          # window rows (covers 8x8 taps + patch spread)
 WINX = 24         # window cols: 16 + up to 7 for sublane alignment of x0
 PAD = 12          # zero border so off-image taps read exact zeros
-BE = 64           # edges per grid step (the split kernel's R
+import os as _os
+
+BE = int(_os.environ.get("DEVO_CORR_BE", "64"))
+                  # edges per grid step (the split kernel's R
                   # buffer is VMEM-resident: 64 keeps it ~6 MB)
-K = 8             # window ring slots
-IF = 4            # DMAs in flight (< K so a slot is never rewritten while
+K = int(_os.environ.get("DEVO_CORR_K", "8"))
+                  # window ring slots
+IF = int(_os.environ.get("DEVO_CORR_IF", "4"))
+                  # DMAs in flight (< K so a slot is never rewritten while
                   # the MXU may still be streaming it: K - IF edges of slack)
 NSC = 4           # rotating result scratches
+assert IF <= K and BE % NSC == 0, "corr pipeline knob constraint"
 
 
 def _kernel(slot_ref, y0_ref, x08_ref,                    # scalar prefetch
@@ -426,6 +432,120 @@ def _kernel_banded_split(nlive_ref, slot_ref, row0_ref,     # scalar prefetch
         jax.lax.fori_loop(0, BE, ext_body, 0)
 
 
+K2 = 32          # split2 window ring slots: must buffer enough in-flight
+                 # windows to keep the DMA engine busy through the previous
+                 # block's extraction phase (~BE * 0.38 us)
+IF2 = 16         # split2 prologue DMA depth
+
+
+def _kernel_banded_split2(nlive_ref, slot_ref, row0_ref,    # scalar prefetch
+                          scale_ref,                        # (EP,) f32 SMEM
+                          g_ref, ry_ref, rx_ref,            # per-edge VMEM
+                          fmap_hbm,
+                          out_ref,
+                          win, rbuf, sems,
+                          *, C: int, PP: int, nblk: int, wr: int = WIN,
+                          wi8: bool = False):
+    """Software-pipelined split: grid step b streams block b's window DMAs
+    and matmuls while EXTRACTING block b-1 (whose R sits in the other rbuf
+    parity). The plain split kernel's extraction phase (~0.38 us/edge of
+    per-edge VPU slices) leaves the DMA engine idle; here it runs under
+    block b's in-flight window stream. The out BlockSpec lags one step
+    (index max(b-1, 0)) and the grid has one extra step for the tail.
+    Per-edge scalar refs are sized EP + BE with one zero block appended so
+    the tail step's (inactive) DMA helpers can still form addresses."""
+    b = pl.program_id(0)
+
+    # ---- phase A (blocks 0..nblk-1): stream DMAs + matmuls into rbuf[b%2]
+    @pl.when((b < nblk) & (b * BE < nlive_ref[0]))
+    def _mm():
+        def win_dma(e):
+            q = b * BE + e
+            if wi8:
+                r0 = pl.multiple_of(row0_ref[q], 8)
+                return pltpu.make_async_copy(
+                    fmap_hbm.at[slot_ref[q], pl.ds(r0, wr * BWIN)],
+                    win.at[e % K2], sems.at[e % K2])
+            return pltpu.make_async_copy(
+                fmap_hbm.at[slot_ref[q], pl.ds(row0_ref[q], wr)],
+                win.at[e % K2], sems.at[e % K2])
+
+        for k in range(IF2):
+            win_dma(k).start()
+
+        def mm_body(e, _):
+            win_dma(e).wait()
+            w2 = win[e % K2].reshape(wr * BWIN, C)
+            if wi8:
+                w2 = w2.astype(jnp.bfloat16)
+            R = jax.lax.dot_general(
+                w2, g_ref[e], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            @pl.when(e + IF2 < BE)
+            def _():
+                win_dma(e + IF2).start()
+            rbuf[b % 2, e] = R.reshape(wr, BWIN, 16).astype(rbuf.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, BE, mm_body, 0)
+
+    # ---- phase B (blocks 1..nblk): extract block b-1 from rbuf[(b-1)%2]
+    @pl.when((b > 0) & ((b - 1) * BE < nlive_ref[0]))
+    def _ext():
+        def ext_body(e, _):
+            parts = []
+            for p in range(PP):
+                rx8 = pl.multiple_of(rx_ref[e, p] * 8, 8)
+                parts.append(rbuf[(b - 1) % 2, e, pl.ds(ry_ref[e, p], 8),
+                                  pl.ds(rx8, 16), p])
+            strips = jnp.concatenate(parts, axis=1).astype(jnp.float32)
+            if wi8:
+                strips = strips * scale_ref[(b - 1) * BE + e]
+            out_ref[e] = strips
+            return 0
+
+        jax.lax.fori_loop(0, BE, ext_body, 0)
+
+
+def _split2_call(nlive, slot_g, row0_g, s_e, g, ry_g, rx_g, fmap_b,
+                 *, C, PP, wr, wi8, EP):
+    """pallas_call plumbing for the pipelined split2 kernel: grid has one
+    extra tail step; g/scalar inputs gain one zero block so step `nblk`'s
+    (inactive) block indexing stays in range; ry/rx/out lag one block."""
+    nblk = EP // BE
+    padB = lambda a: jnp.pad(a, [(0, BE)] + [(0, 0)] * (a.ndim - 1))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nblk + 1,),
+        in_specs=[
+            pl.BlockSpec((BE, 16, C), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),        # g (block b)
+            pl.BlockSpec((BE, 16), lambda b, *_: (jnp.maximum(b - 1, 0), 0),
+                         memory_space=pltpu.VMEM),        # ry (block b-1)
+            pl.BlockSpec((BE, 16), lambda b, *_: (jnp.maximum(b - 1, 0), 0),
+                         memory_space=pltpu.VMEM),        # rx8 (block b-1)
+            pl.BlockSpec(memory_space=pl.ANY),            # fmap_b (HBM)
+        ],
+        out_specs=pl.BlockSpec((BE, 8, 16 * PP),
+                               lambda b, *_: (jnp.maximum(b - 1, 0), 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((K2, wr * BWIN, C), jnp.int8) if wi8
+            else pltpu.VMEM((K2, wr, BWIN, C), jnp.bfloat16),
+            pltpu.VMEM((2, BE, wr, BWIN, 16), jnp.bfloat16),  # R double-buf
+            pltpu.SemaphoreType.DMA((K2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_banded_split2, C=C, PP=PP, nblk=nblk,
+                          wr=wr, wi8=wi8),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((EP, 8, 16 * PP), jnp.float32),
+    )(nlive, padB(slot_g), padB(row0_g), s_e,
+      padB(g), ry_g, rx_g, fmap_b)
+
+
 def _kernel_banded_g8(nlive_ref, slot_ref, row0_ref,        # scalar prefetch
                       gt_ref, ry_ref, rx_ref,               # per-edge VMEM
                       fmap_hbm,                             # (mem, rows, 24, C)
@@ -649,8 +769,8 @@ def corr_level_banded(
     wi8 = fmap_b.dtype == jnp.int8
     if wi8:
         assert scale is not None, "int8 banded rings need per-slot scales"
-        assert ablate in ("split", "g8c", "g8c_kernel_only"), \
-            "int8 rings implemented for 'split'/'g8c' only"
+        assert ablate in ("split", "split2", "g8c", "g8c_kernel_only"), \
+            "int8 rings implemented for 'split'/'split2'/'g8c' only"
         mem, rowsf, C = fmap_b.shape
         rows = rowsf // BWIN
     else:
@@ -696,7 +816,7 @@ def corr_level_banded(
         slot_g, row0_g = pad1(slot_g), pad1(row0_g)
         ry_g, rx_g, g = pad1(ry_g), pad1(rx_g), pad1(g)
 
-    if ablate == "split":
+    if ablate in ("split", "split2"):
         if wi8:
             # per-edge dequant scale, applied in-kernel at the extraction
             # store. (E, mem) one-hot matmul — a fancy gather of the (mem,)
@@ -708,6 +828,11 @@ def corr_level_banded(
                 s_e = jnp.pad(s_e, (0, EP - E))
         else:
             s_e = jnp.zeros((EP,), jnp.float32)   # unused (wi8=False)
+        if ablate == "split2":
+            out = _split2_call(nlive, slot_g, row0_g, s_e, g, ry_g, rx_g,
+                               fmap_b, C=C, PP=PP, wr=wr, wi8=wi8, EP=EP)
+            from .corr import blend_strips
+            return blend_strips(out[:E], fx, fy, rxo, mask, PP)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(EP // BE,),
@@ -1045,6 +1170,250 @@ def corr_level_l4_resident(
     return blend_strips(out[:E], fx, fy, rxo, mask, PP)
 
 
+# =========================================================================
+# Merged two-level kernel ("pair").
+#
+# The engine trace (profile r03) put the two per-level pallas calls at
+# ~5 ms EACH with level 4 costing the same as level 1 despite 37% fewer
+# bytes: the per-edge window DMA is LATENCY-bound per descriptor, and with
+# the levels as separate sequential calls each level's DMA queue idles
+# while the other level computes. This kernel runs both levels in ONE grid
+# pass with independent DMA queues (two semaphore arrays): level-b windows
+# stream while level-a matmuls issue and vice versa, doubling the
+# descriptors in flight for the same per-edge compute. It also shares the
+# per-block g DMA (identical patch features for both levels) and halves
+# the fixed per-call overheads (dispatch, grid, scalar prefetch).
+# =========================================================================
+
+
+def _pair_level_index(coords, mask, jj, hp: int, nbx: int, wr: int,
+                      radius: int, wi8: bool):
+    """Per-level window indexing shared by the banded kernels: returns
+    (fx, fy, rxo, row0_g, ry, rx8) for one pyramid level (the same
+    arithmetic as corr_level_banded's preamble)."""
+    E, P = coords.shape[0], coords.shape[1]
+    PP = P * P
+    R = radius
+    x = coords[..., 0].reshape(E, PP).astype(jnp.float32)
+    y = coords[..., 1].reshape(E, PP).astype(jnp.float32)
+    xf = jnp.floor(x)
+    yf = jnp.floor(y)
+    fx = (x - xf).astype(jnp.float32)
+    fy = (y - yf).astype(jnp.float32)
+    xf = xf.astype(jnp.int32)
+    yf = yf.astype(jnp.int32)
+    band = jnp.clip((jnp.min(xf, axis=1) - R + PAD) // 8, 0, nbx - 1)
+    y0 = jnp.clip(jnp.min(yf, axis=1) - R + PAD, 0, hp - wr)
+    rx = jnp.clip(xf - R + PAD - band[:, None] * 8, 0, BWIN - 9)
+    ry = jnp.clip(yf - R + PAD - y0[:, None], 0, wr - 8)
+    rx8 = rx // 8
+    rxo = rx - rx8 * 8
+    row0_g = jnp.where(mask, band * hp + y0, 0).astype(jnp.int32)
+    if wi8:
+        row0_g = row0_g * BWIN           # flat (rows*BWIN, C) layout
+    ry_g = jnp.pad(ry, ((0, 0), (0, 16 - PP))).astype(jnp.int32)
+    rx_g = jnp.pad(rx8, ((0, 0), (0, 16 - PP))).astype(jnp.int32)
+    return fx, fy, rxo, row0_g, ry_g, rx_g
+
+
+def _kernel_banded_pair(nlive_ref, slot_ref, row0a_ref, row0b_ref,  # prefetch
+                        sa_ref, sb_ref,             # (EP,) f32 dequant scales
+                        g_ref,                      # (BE, 16, C) shared
+                        rya_ref, rxa_ref, ryb_ref, rxb_ref,
+                        fa_hbm, fb_hbm,             # per-level banded rings
+                        outa_ref, outb_ref,
+                        wina, winb, rbufa, rbufb, semsa, semsb,
+                        *, C: int, PP: int, wra: int, wrb: int,
+                        wi8: bool):
+    """Two pyramid levels in one phase-split pass. Each level keeps its own
+    IF-deep window-DMA pipeline (independent semaphores) so the two
+    descriptor streams overlap each other's latency AND both matmul
+    streams; phase B extracts both levels per edge (same VPU work as two
+    kernels, half the loop overhead)."""
+    b = pl.program_id(0)
+
+    @pl.when(b * BE < nlive_ref[0])
+    def _run():
+        def dma(e, row0_ref, f_hbm, win, sems, wr):
+            q = b * BE + e
+            if wi8:
+                r0 = pl.multiple_of(row0_ref[q], 8)   # pre-multiplied by BWIN
+                return pltpu.make_async_copy(
+                    f_hbm.at[slot_ref[q], pl.ds(r0, wr * BWIN)],
+                    win.at[e % K], sems.at[e % K])
+            return pltpu.make_async_copy(
+                f_hbm.at[slot_ref[q], pl.ds(row0_ref[q], wr)],
+                win.at[e % K], sems.at[e % K])
+
+        dma_a = functools.partial(dma, row0_ref=row0a_ref, f_hbm=fa_hbm,
+                                  win=wina, sems=semsa, wr=wra)
+        dma_b = functools.partial(dma, row0_ref=row0b_ref, f_hbm=fb_hbm,
+                                  win=winb, sems=semsb, wr=wrb)
+
+        for k in range(IF):
+            dma_a(k).start()
+            dma_b(k).start()
+
+        def mm_body(e, _):
+            dma_a(e).wait()
+            wa = wina[e % K].reshape(wra * BWIN, C)
+            if wi8:
+                wa = wa.astype(jnp.bfloat16)
+            Ra = jax.lax.dot_general(
+                wa, g_ref[e], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dma_b(e).wait()
+
+            @pl.when(e + IF < BE)
+            def _():
+                dma_a(e + IF).start()
+                dma_b(e + IF).start()
+
+            wb = winb[e % K].reshape(wrb * BWIN, C)
+            if wi8:
+                wb = wb.astype(jnp.bfloat16)
+            Rb = jax.lax.dot_general(
+                wb, g_ref[e], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            rbufa[e] = Ra.reshape(wra, BWIN, 16).astype(rbufa.dtype)
+            rbufb[e] = Rb.reshape(wrb, BWIN, 16).astype(rbufb.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, BE, mm_body, 0)
+
+        def ext_body(e, _):
+            parts_a, parts_b = [], []
+            for p in range(PP):
+                rxa8 = pl.multiple_of(rxa_ref[e, p] * 8, 8)
+                parts_a.append(rbufa[e, pl.ds(rya_ref[e, p], 8),
+                                     pl.ds(rxa8, 16), p])
+                rxb8 = pl.multiple_of(rxb_ref[e, p] * 8, 8)
+                parts_b.append(rbufb[e, pl.ds(ryb_ref[e, p], 8),
+                                     pl.ds(rxb8, 16), p])
+            sa = jnp.concatenate(parts_a, axis=1).astype(jnp.float32)
+            sb = jnp.concatenate(parts_b, axis=1).astype(jnp.float32)
+            if wi8:
+                sa = sa * sa_ref[b * BE + e]
+                sb = sb * sb_ref[b * BE + e]
+            outa_ref[e] = sa
+            outb_ref[e] = sb
+            return 0
+
+        jax.lax.fori_loop(0, BE, ext_body, 0)
+
+
+def corr_pyramid_pair(
+    gmap: jnp.ndarray,      # (Mring, P, P, C) patch features (ring)
+    fa: jnp.ndarray,        # level-a banded ring (flat i8 or 4-D bf16)
+    fb: jnp.ndarray,        # level-b banded ring
+    coords: jnp.ndarray,    # (E, P, P, 2) at LEVEL-0 resolution
+    kk: jnp.ndarray,        # (E,) ring patch index
+    jj: jnp.ndarray,        # (E,) ring frame slot
+    mask: jnp.ndarray,      # (E,) bool
+    n_live,                 # () int32 packed live-edge count
+    hw,                     # level-0 feature resolution (H, W)
+    levels=(1, 4),
+    radius: int = 3,
+    scales=(None, None),    # per-level (mem,) f32 dequant scales (i8 rings)
+    wins=None,              # per-level DMA window rows
+) -> jnp.ndarray:
+    """Both pyramid levels in ONE pallas call; output ordering matches
+    corr_pyramid_banded ([dx, dy, pixel, level])."""
+    assert radius == 3, "window constants assume r = 3"
+    wi8 = fa.dtype == jnp.int8
+    assert (fb.dtype == jnp.int8) == wi8, "pair levels must share a dtype"
+    if wins is None:
+        wins = tuple(level_win_rows(lvl) for lvl in levels)
+    wra, wrb = wins
+    if wi8:
+        assert scales[0] is not None and scales[1] is not None
+        mem, rowsf, C = fa.shape
+    else:
+        mem, _, _, C = fa.shape
+    E, P = coords.shape[0], coords.shape[1]
+    PP = P * P
+
+    idx = []
+    for f, lvl, wr in zip((fa, fb), levels, wins):
+        h, w = hw[0] // lvl, hw[1] // lvl
+        rows, hp = banded_shape(h, w)
+        nbx = (rows - STAGGER) // hp
+        idx.append(_pair_level_index(coords / lvl, mask, jj, hp, nbx, wr,
+                                     radius, wi8))
+    (fxa, fya, rxoa, row0a, rya, rxa) = idx[0]
+    (fxb, fyb, rxob, row0b, ryb, rxb) = idx[1]
+
+    g = lookup_g(gmap, kk, mask)
+    slot_g = jnp.where(mask, jj, 0).astype(jnp.int32)
+    nlive = jnp.asarray(n_live, jnp.int32).reshape(1)
+
+    if wi8:
+        # shared one-hot (a fancy gather of the (mem,) tables would lower
+        # to a serial loop); two matvecs reuse it
+        oh = (slot_g[:, None] == jnp.arange(mem)[None, :]).astype(jnp.float32)
+        s_a = oh @ scales[0].astype(jnp.float32)
+        s_b = oh @ scales[1].astype(jnp.float32)
+    else:
+        s_a = s_b = jnp.zeros((E,), jnp.float32)   # unused
+
+    EP = ((E + BE - 1) // BE) * BE
+    if EP != E:
+        padn = EP - E
+        pad1 = lambda a: jnp.pad(a, [(0, padn)] + [(0, 0)] * (a.ndim - 1))
+        slot_g, row0a, row0b = pad1(slot_g), pad1(row0a), pad1(row0b)
+        rya, rxa, ryb, rxb = pad1(rya), pad1(rxa), pad1(ryb), pad1(rxb)
+        g, s_a, s_b = pad1(g), pad1(s_a), pad1(s_b)
+
+    win_scr = (
+        (lambda wr: pltpu.VMEM((K, wr * BWIN, C), jnp.int8)) if wi8
+        else (lambda wr: pltpu.VMEM((K, wr, BWIN, C), jnp.bfloat16)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(EP // BE,),
+        in_specs=[
+            pl.BlockSpec((BE, 16, C), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),    # g (shared)
+            pl.BlockSpec((BE, 16), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),    # rya
+            pl.BlockSpec((BE, 16), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),    # rxa8
+            pl.BlockSpec((BE, 16), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),    # ryb
+            pl.BlockSpec((BE, 16), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),    # rxb8
+            pl.BlockSpec(memory_space=pl.ANY),        # fa (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),        # fb (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((BE, 8, 16 * PP), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, 8, 16 * PP), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            win_scr(wra),                             # level-a window ring
+            win_scr(wrb),                             # level-b window ring
+            pltpu.VMEM((BE, wra, BWIN, 16), jnp.bfloat16),
+            pltpu.VMEM((BE, wrb, BWIN, 16), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((K,)),
+            pltpu.SemaphoreType.DMA((K,)),
+        ],
+    )
+    outa, outb = pl.pallas_call(
+        functools.partial(_kernel_banded_pair, C=C, PP=PP, wra=wra, wrb=wrb,
+                          wi8=wi8),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((EP, 8, 16 * PP), jnp.float32),
+                   jax.ShapeDtypeStruct((EP, 8, 16 * PP), jnp.float32)],
+    )(nlive, slot_g, row0a, row0b, s_a, s_b,
+      g, rya, rxa, ryb, rxb, fa, fb)
+
+    from .corr import blend_strips
+    outs = [blend_strips(outa[:E], fxa, fya, rxoa, mask, PP),
+            blend_strips(outb[:E], fxb, fyb, rxob, mask, PP)]
+    return jnp.stack(outs, axis=-1).reshape(E, -1)
+
+
 def corr_pyramid_banded(gmap, banded_pyramid, coords, kk, jj, mask, n_live,
                         hw, radius=3, levels=(1, 4), scales=None, wins=None,
                         variant="split"):
@@ -1059,12 +1428,31 @@ def corr_pyramid_banded(gmap, banded_pyramid, coords, kk, jj, mask, n_live,
 
     A level whose ring is 4-D int8 (pad_frame_l4_i8 layout) dispatches to
     the VMEM-resident kernel instead of the banded-DMA one (the engine
-    gates this on VMEM footprint, VOConfig.CORR_L4_RESIDENT)."""
+    gates this on VMEM footprint, VOConfig.CORR_L4_RESIDENT).
+
+    variant="pair" runs BOTH levels in one kernel with independent DMA
+    pipelines (requires exactly two flat-banded levels)."""
     E = coords.shape[0]
     if scales is None:
         scales = (None,) * len(banded_pyramid)
     if wins is None:
         wins = tuple(level_win_rows(lvl) for lvl in levels)
+    if variant == "pair":
+        assert len(banded_pyramid) == 2, "pair kernel is two-level"
+        assert all(fb.ndim == (3 if fb.dtype == jnp.int8 else 4)
+                   for fb in banded_pyramid), \
+            "pair kernel needs flat-banded rings (no resident layout)"
+        for fb, lvl in zip(banded_pyramid, levels):
+            want = banded_shape(hw[0] // lvl, hw[1] // lvl)[0]
+            got = (fb.shape[1] // BWIN if fb.dtype == jnp.int8
+                   else fb.shape[1])
+            assert got == want, (
+                f"banded ring rows {got} != {want} expected for hw={hw} "
+                f"level {lvl}")
+        return corr_pyramid_pair(gmap, banded_pyramid[0], banded_pyramid[1],
+                                 coords, kk, jj, mask, n_live, hw,
+                                 levels=levels, radius=radius, scales=scales,
+                                 wins=wins)
     # `hw` must be the resolution the rings were built at: a caller passing
     # a mismatched cfg.HT/WD would get wrong row0 addressing and
     # silently-garbage correlations (band_frame rows = nbx*Hp + STAGGER)

@@ -63,12 +63,15 @@ def _split3(v: jnp.ndarray):
     return b0, b1, b2
 
 
-def _unpack(out: jnp.ndarray, Di: int):
+def _unpack(out: jnp.ndarray, Di: int, nsplit: int):
     ii = _undigits(out[:, 0:3])
     jj = _undigits(out[:, 3:6])
     kk = _undigits(out[:, 6:9])
-    enet = out[:, 9:9 + Di] + out[:, 9 + Di:9 + 2 * Di] \
-        + out[:, 9 + 2 * Di:9 + 3 * Di]
+    enet = out[:, 9:9 + Di]
+    for s in range(1, nsplit):
+        enet = enet + out[:, 9 + s * Di:9 + (s + 1) * Di]
+    if nsplit == 1:
+        enet = enet.astype(jnp.bfloat16)
     return ii, jj, kk, enet
 
 
@@ -91,9 +94,14 @@ def take_rows(src: jnp.ndarray, ii: jnp.ndarray, jj: jnp.ndarray,
     """
     E = src.shape[0]
     Di = enet.shape[1]
-    b0, b1, b2 = _split3(enet)
+    # a bf16 payload rides exactly in ONE plane (one-hot row selection is
+    # 1.0 * v with f32 accumulation); f32 needs the 3-term decomposition.
+    # Cuts the per-frame merge matmul's columns 3x (profile r03: the banded
+    # merge dot was 0.67 ms/frame at D=1161 with an f32 hidden state).
+    parts = ([enet] if enet.dtype == jnp.bfloat16 else list(_split3(enet)))
+    nsplit = len(parts)
     rhs = jnp.concatenate(
-        [_digits(ii), _digits(jj), _digits(kk), b0, b1, b2], axis=-1)
+        [_digits(ii), _digits(jj), _digits(kk)] + parts, axis=-1)
     D = rhs.shape[1]
 
     def full(src):
@@ -102,12 +110,12 @@ def take_rows(src: jnp.ndarray, ii: jnp.ndarray, jj: jnp.ndarray,
         return jax.lax.dot(oh, rhs, preferred_element_type=jnp.float32)
 
     if band is None or E % _T != 0:
-        return _unpack(full(src), Di)
+        return _unpack(full(src), Di, nsplit)
 
     blo, bhi = band
     S = -(-(_T + blo + bhi) // 128) * 128
     if S >= E:
-        return _unpack(full(src), Di)
+        return _unpack(full(src), Di, nsplit)
     nT = E // _T
 
     def banded(src):
@@ -131,4 +139,4 @@ def take_rows(src: jnp.ndarray, ii: jnp.ndarray, jj: jnp.ndarray,
     care = p < (E if valid_count is None else valid_count)
     viol = jnp.any(((d > bhi) | (d < -blo)) & care)
     out = jax.lax.cond(viol, full, banded, src)
-    return _unpack(out, Di)
+    return _unpack(out, Di, nsplit)

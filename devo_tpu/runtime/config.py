@@ -62,9 +62,19 @@ class VOConfig:
                                          # "window" (slice-gather + MXU),
                                          # "pallas" (grouped VMEM-resident),
                                          # "gather" (naive reference form)
-    CORR_KERNEL: str = "split"           # banded kernel flavor: "split"
-                                         #   (phase-split DMA+MXU then
-                                         #   in-kernel per-edge extraction),
+    CORR_KERNEL: str = "pair"            # banded kernel flavor: "pair"
+                                         #   (both pyramid levels in ONE
+                                         #   kernel, shared per-edge g block,
+                                         #   per-level DMA pipelines — engine
+                                         #   bench 43.9 vs 41.6 FPS over
+                                         #   per-level split, r03),
+                                         # "split" (phase-split DMA+MXU then
+                                         #   in-kernel per-edge extraction,
+                                         #   one call per level),
+                                         # "split2" (software-pipelined:
+                                         #   block b-1's extraction runs
+                                         #   under block b's window-DMA
+                                         #   stream; lagged output block),
                                          # "g8c" (compact group matmul + XLA
                                          #   extraction — measured 20-100x
                                          #   SLOWER on real v5e, kept only
@@ -83,6 +93,22 @@ class VOConfig:
                                          # "auto" = on iff the ring set fits
                                          #   the VMEM budget (requires
                                          #   CORR_RING_I8)
+    ENET_BF16: bool = True               # store the recurrent per-edge
+                                         #   hidden state (enet) in bf16:
+                                         #   cuts the per-frame edge-table
+                                         #   merge payload 3x (an f32 state
+                                         #   needs a 3-plane bf16 split to
+                                         #   move exactly; bf16 rides in
+                                         #   one). The update operator runs
+                                         #   the state through LayerNorm
+                                         #   first and the reference
+                                         #   autocasts the whole block to
+                                         #   fp16 (devo.py:71-74); golden
+                                         #   tests cover the bf16 state.
+    FUSED_ENCODERS: bool = True          # evaluate fnet+inet as one block-
+                                         #   diagonal network (exact; halves
+                                         #   the lane-padded stage-1 conv
+                                         #   traffic — nets/fused_encoder.py)
     CORR_RING_I8: bool = True            # store the banded corr feature
                                          #   rings as per-frame-scaled int8
                                          #   (halves the kernel's window-DMA

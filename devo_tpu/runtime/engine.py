@@ -147,6 +147,13 @@ def _l4_resident(cfg: VOConfig, ht: int, wd: int) -> bool:
     (the kernel also needs its R-buffer, g block and output block)."""
     if not _use_banded(cfg) or cfg.CORR_L4_RESIDENT == "off":
         return False
+    if cfg.CORR_KERNEL == "pair":
+        # the pair kernel runs both levels' banded-DMA pipelines in one
+        # pass; the resident layout has no banded level-4 ring to pair
+        if cfg.CORR_L4_RESIDENT == "on":
+            raise ValueError("CORR_L4_RESIDENT='on' is incompatible with "
+                             "CORR_KERNEL='pair'")
+        return False
     if not cfg.CORR_RING_I8:
         if cfg.CORR_L4_RESIDENT == "on":
             raise ValueError("CORR_L4_RESIDENT='on' requires CORR_RING_I8 "
@@ -199,7 +206,8 @@ def init_state(cfg: VOConfig, ht: int, wd: int, seed: int = 0,
         ii=jnp.zeros((E,), jnp.int32),
         jj=jnp.zeros((E,), jnp.int32),
         kk=jnp.zeros((E,), jnp.int32),
-        enet=jnp.zeros((E, cfg.DIM_INET), jnp.float32),
+        enet=jnp.zeros((E, cfg.DIM_INET),
+                       jnp.bfloat16 if cfg.ENET_BF16 else jnp.float32),
         n_edges=jnp.int32(0),
         pending_drop=jnp.zeros((E,), bool),
         n=jnp.int32(0),
@@ -211,11 +219,13 @@ def init_state(cfg: VOConfig, ht: int, wd: int, seed: int = 0,
 
 # ---------------------------------------------------------------- edge table
 
-def _gather_edges(st: VOState, src: jnp.ndarray) -> VOState:
+def _gather_edges(st: VOState, src: jnp.ndarray,
+                  band=None, valid_count=None) -> VOState:
     # one-hot MXU gather: a fancy-index gather of the 4 table arrays lowers
     # to a serial per-row loop (~4.5 ms at E=10240, bench_table_ops.py); the
     # exact one-hot matmul costs ~0.7 ms (ops/table.py)
-    ii, jj, kk, enet = table_ops.take_rows(src, st.ii, st.jj, st.kk, st.enet)
+    ii, jj, kk, enet = table_ops.take_rows(src, st.ii, st.jj, st.kk, st.enet,
+                                           band=band, valid_count=valid_count)
     return st._replace(ii=ii, jj=jj, kk=kk, enet=enet)
 
 
@@ -238,7 +248,13 @@ def _remove_and_pack(st: VOState, drop: jnp.ndarray) -> VOState:
     # src[r] = index of the (r+1)-th kept edge = #\{csum <= r\}
     src = _ss(csum, jnp.arange(E, dtype=jnp.int32), "right")
     src = jnp.minimum(src, E - 1)
-    st = _gather_edges(st, src)
+    # pack-only displacement is src[r] - r in [0, #dropped]: band the
+    # one-hot with a static budget of two stacked culls + a purge (typical
+    # drops are one cull, a few hundred edges); a bigger removal trips
+    # take_rows' traced fallback to the full (E, E) one-hot — correct
+    # either way (this path runs on rebucket absorption, not per frame)
+    M_life = 2 * 96 * 25  # conservative: 2 * M * (2 * PATCH_LIFETIME - 1)
+    st = _gather_edges(st, src, band=(0, M_life), valid_count=csum[-1])
     return st._replace(n_edges=csum[-1])
 
 
@@ -435,7 +451,8 @@ def _update_once(net: EVONet, params, cfg: VOConfig, st: VOState) -> VOState:
         ep=1.0, lm=1e-4, depth_clamp="inference", kk_sorted=True,
         geo_window=_live_window(cfg, st))
 
-    return st._replace(poses=poses, patches=patches, enet=enet)
+    return st._replace(poses=poses, patches=patches,
+                       enet=enet.astype(st.enet.dtype))
 
 
 def _motion_probe(net: EVONet, params, cfg: VOConfig, st: VOState):
@@ -896,7 +913,7 @@ class DEVO:
         self.net = EVONet(P=cfg.P, dim_inet=cfg.DIM_INET, dim_fnet=cfg.DIM_FNET,
                           dim=cfg.DIM, patch_selector=cfg.PATCH_SELECTOR,
                           dtype=jnp.bfloat16 if cfg.MIXED_PRECISION else jnp.float32,
-                          bins=cfg.BINS)
+                          bins=cfg.BINS, fused_encoders=cfg.FUSED_ENCODERS)
         self.params = params
         # Bucketed edge capacity: the worst-case bound (EDGE_CAP) is ~2-10x
         # the live edge count of typical sequences, and every per-edge op

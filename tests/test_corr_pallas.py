@@ -291,3 +291,126 @@ def test_l4_resident_out_of_bounds_taps_zero():
             gmap, fmap_p, coords, kk, jj, mask, n_live=coords.shape[0],
             scale=scale)
     np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-6)
+
+
+def _i8_pyramid(fmap):
+    """Build a two-level int8 banded pyramid (level-2 via 2x2 mean pool so
+    the test stays small) + per-level scales + dequantized references."""
+    fmap2 = fmap.reshape(fmap.shape[0], fmap.shape[1] // 2, 2,
+                         fmap.shape[2] // 2, 2, -1).mean((2, 4))
+    pyr, scales, deq = [], [], []
+    for fm in (fmap, fmap2):
+        qs = [corr_pallas.band_frame_i8(f) for f in fm]
+        pyr.append(jnp.stack([q for q, _ in qs]))
+        scales.append(jnp.stack([s for _, s in qs]))
+        s = jnp.max(jnp.abs(fm), axis=(1, 2, 3), keepdims=True) / 127.0
+        deq.append(jnp.clip(jnp.round(fm / s), -127, 127) * s)
+    return tuple(pyr), tuple(scales), deq
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_pair_i8_matches_reference(seed):
+    """The merged two-level kernel vs the gather reference on int8-exact
+    quantized frames, both levels."""
+    gmap, fmap, coords, kk, jj, mask = make_case(seed, E=24)
+    pyr, scales, deq = _i8_pyramid(fmap)
+    gb = gmap.astype(jnp.bfloat16).astype(jnp.float32)
+    wants = [corr_ops.corr(gb, fq, coords / lvl, kk, jj, radius=3)
+             for fq, lvl in zip(deq, (1, 2))]
+    want = np.stack([np.asarray(w) for w in wants], -1).reshape(24, -1)
+    want = want * np.asarray(mask)[:, None]
+    with pltpu.force_tpu_interpret_mode():
+        got = corr_pallas.corr_pyramid_banded(
+            gmap, pyr, coords, kk, jj, mask, n_live=24, hw=(32, 40),
+            levels=(1, 2), scales=scales, wins=(16, 12), variant="pair")
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
+
+
+@pytest.mark.parametrize("i8", [False, True], ids=["bf16", "i8"])
+def test_pair_matches_split(i8):
+    """pair must agree with the per-level split kernels on the SAME rings
+    (identical math, merged schedule)."""
+    gmap, fmap, coords, kk, jj, mask = make_case(5, E=24)
+    if i8:
+        pyr, scales, _ = _i8_pyramid(fmap)
+    else:
+        fmap2 = fmap.reshape(fmap.shape[0], fmap.shape[1] // 2, 2,
+                             fmap.shape[2] // 2, 2, -1).mean((2, 4))
+        pyr = tuple(jnp.stack([corr_pallas.band_frame(f) for f in fm])
+                    for fm in (fmap, fmap2))
+        scales = None
+    kw = dict(n_live=24, hw=(32, 40), levels=(1, 2), scales=scales,
+              wins=(16, 12))
+    with pltpu.force_tpu_interpret_mode():
+        ref = corr_pallas.corr_pyramid_banded(
+            gmap, pyr, coords, kk, jj, mask, variant="split", **kw)
+        got = corr_pallas.corr_pyramid_banded(
+            gmap, pyr, coords, kk, jj, mask, variant="pair", **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_pair_early_exit_blocks():
+    """Blocks past n_live skip in the merged kernel; the live prefix must
+    stay exact and dead edges zero."""
+    E = 2 * corr_pallas.BE
+    gmap, fmap, coords, kk, jj, _ = make_case(4, E=E)
+    live = corr_pallas.BE - 8
+    mask = jnp.arange(E) < live
+    pyr, scales, deq = _i8_pyramid(fmap)
+    gb = gmap.astype(jnp.bfloat16).astype(jnp.float32)
+    wants = [corr_ops.corr(gb, fq, coords / lvl, kk, jj, radius=3)
+             for fq, lvl in zip(deq, (1, 2))]
+    want = np.stack([np.asarray(w) for w in wants], -1).reshape(E, -1)
+    want = want * np.asarray(mask)[:, None]
+    with pltpu.force_tpu_interpret_mode():
+        got = corr_pallas.corr_pyramid_banded(
+            gmap, pyr, coords, kk, jj, mask, n_live=live, hw=(32, 40),
+            levels=(1, 2), scales=scales, wins=(16, 12), variant="pair")
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
+
+
+@pytest.mark.parametrize("i8", [False, True], ids=["bf16", "i8"])
+def test_split2_matches_split(i8):
+    """The software-pipelined kernel must agree with plain split exactly
+    (same math, lagged schedule), across multiple blocks."""
+    E = 3 * corr_pallas.BE
+    gmap, fmap, coords, kk, jj, mask = make_case(8, E=E)
+    if i8:
+        qs = [corr_pallas.band_frame_i8(f) for f in fmap]
+        fmap_b = jnp.stack([q for q, _ in qs])
+        scale = jnp.stack([s for _, s in qs])
+    else:
+        fmap_b = jnp.stack([corr_pallas.band_frame(f) for f in fmap])
+        scale = None
+    kw = dict(n_live=E, hp=corr_pallas.banded_shape(32, 40)[1], scale=scale)
+    with pltpu.force_tpu_interpret_mode():
+        ref = corr_pallas.corr_level_banded(
+            gmap, fmap_b, coords, kk, jj, mask, ablate="split", **kw)
+        got = corr_pallas.corr_level_banded(
+            gmap, fmap_b, coords, kk, jj, mask, ablate="split2", **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_split2_early_exit_blocks():
+    """Dead blocks skip both pipeline phases; live prefix exact, dead edges
+    zero after the blend mask."""
+    E = 3 * corr_pallas.BE
+    gmap, fmap, coords, kk, jj, _ = make_case(9, E=E)
+    live = corr_pallas.BE + 5
+    mask = jnp.arange(E) < live
+    qs = [corr_pallas.band_frame_i8(f) for f in fmap]
+    fmap_b = jnp.stack([q for q, _ in qs])
+    scale = jnp.stack([s for _, s in qs])
+    gb = gmap.astype(jnp.bfloat16).astype(jnp.float32)
+    s = jnp.max(jnp.abs(fmap), axis=(1, 2, 3), keepdims=True) / 127.0
+    fq = jnp.clip(jnp.round(fmap / s), -127, 127) * s
+    want = corr_ops.corr(gb, fq, coords, kk, jj, radius=3)
+    want = np.asarray(want) * np.asarray(mask)[:, None]
+    with pltpu.force_tpu_interpret_mode():
+        got = corr_pallas.corr_level_banded(
+            gmap, fmap_b, coords, kk, jj, mask, n_live=live,
+            hp=corr_pallas.banded_shape(32, 40)[1], scale=scale,
+            ablate="split2")
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)

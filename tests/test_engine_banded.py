@@ -23,19 +23,22 @@ N_FRAMES = 18  # past init (8) + keyframe window: culls + ring shifts occur
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("i8,l4res", [(False, "off"), (True, "off"),
-                                      (True, "auto")],
-                         ids=["bf16", "i8", "i8-l4resident"])
-def test_engine_banded_matches_oracle(i8, l4res, monkeypatch):
+@pytest.mark.parametrize(
+    "i8,l4res,kern",
+    [(False, "off", "pair"), (True, "off", "pair"), (True, "off", "split"),
+     (True, "off", "split2"), (True, "auto", "split")],
+    ids=["bf16-pair", "i8-pair", "i8-split", "i8-split2", "i8-l4resident"])
+def test_engine_banded_matches_oracle(i8, l4res, kern, monkeypatch):
     # CORR_KERNEL="g8c" is correctness-covered at the kernel level
     # (test_corr_pallas.py); it is a hardware-rejected probe (PERF_NOTES
-    # r03), so the engine-level matrix only runs the shipping "split".
-    # "i8-l4resident" drives the VMEM-resident level-4 ring plumbing
-    # (pad_frame_l4_i8 writes, resident _shift_ring, l4 dequant) end to
-    # end — at the test's tiny resolution "auto" always enables it.
+    # r03). The matrix covers the shipping "pair" default plus the split /
+    # pipelined-split2 fallbacks. "i8-l4resident" drives the VMEM-resident
+    # level-4 ring plumbing (pad_frame_l4_i8 writes, resident _shift_ring,
+    # l4 dequant) end to end — at the test's tiny resolution "auto" always
+    # enables it (it needs a non-pair kernel: pair requires banded rings).
     monkeypatch.setenv("DEVO_CORR_INTERPRET", "1")
     cfg = CFG.replace(CORR_IMPL="banded", CORR_RING_I8=i8,
-                      CORR_L4_RESIDENT=l4res)
+                      CORR_L4_RESIDENT=l4res, CORR_KERNEL=kern)
     with pltpu.force_tpu_interpret_mode():
         fast, slow, records = run_both(cfg, n_frames=N_FRAMES)
 

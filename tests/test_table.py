@@ -39,3 +39,25 @@ def test_take_rows_identity_and_extremes():
     out = table_ops.take_rows(src, ii, ii, ii, enet)
     np.testing.assert_array_equal(np.asarray(out[2]), np.arange(E))
     np.testing.assert_array_equal(np.asarray(out[3]), np.asarray(enet))
+
+
+def test_take_rows_bf16_payload_bit_exact():
+    """A bf16 hidden state rides in ONE plane and must stay bit-exact
+    through both the banded and full paths (ENET_BF16 engine default)."""
+    rng = np.random.default_rng(3)
+    E, Di = 2048, 16
+    ii = rng.integers(0, 4096, E).astype(np.int32)
+    enet = jnp.asarray(rng.standard_normal((E, Di)), jnp.bfloat16)
+    src = np.minimum(np.arange(E) + rng.integers(0, 64, E), E - 1).astype(np.int32)
+    iij = jnp.asarray(ii)
+    got = jax.jit(lambda s: table_ops.take_rows(
+        s, iij, iij, iij, enet, band=(0, 128), valid_count=E))(
+        jnp.asarray(src))
+    assert got[3].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(got[0]), ii[src])
+    np.testing.assert_array_equal(
+        np.asarray(got[3], np.float32), np.asarray(enet, np.float32)[src])
+    # full path (no band)
+    got2 = table_ops.take_rows(jnp.asarray(src), iij, iij, iij, enet)
+    np.testing.assert_array_equal(
+        np.asarray(got2[3], np.float32), np.asarray(enet, np.float32)[src])
