@@ -60,8 +60,12 @@ def main():
     HT, WD = 480, 640
     # warm through the early-sequence edge-count peak (purging starts at
     # n > REMOVAL_WINDOW) so every bucket executable is compiled before the
-    # timed window — a mid-timing recompile costs minutes
-    N_WARM, N_BENCH = 48, 120
+    # timed window — a mid-timing recompile costs minutes. N_POST frames run
+    # after wait_buckets() and before timing: the FIRST dispatch of each
+    # freshly-(de)serialized bucket executable pays ~0.5 s of host-side
+    # setup (measured as window-1 dispatch 0.51 s vs 0.04 s steady) that is
+    # one-time cost, not throughput
+    N_WARM, N_POST, N_BENCH = 48, 8, 112
 
     # the motion-probe gate is a learned behavior (devo.py:531-534); with
     # random weights it rejects every frame and the bench would measure the
@@ -128,11 +132,13 @@ def main():
     UPLOAD_BATCH = 8
     q: "queue.Queue" = queue.Queue()
 
+    N_TOT = N_WARM + N_POST + N_BENCH
+
     def uploader():
         buf = []
-        for i in range(N_WARM + N_BENCH):
+        for i in range(N_TOT):
             buf.append((i, frame(i)))
-            if len(buf) == UPLOAD_BATCH or i == N_WARM + N_BENCH - 1:
+            if len(buf) == UPLOAD_BATCH or i == N_TOT - 1:
                 ups = slam.upload_batch([f for _, f in buf])
                 for (j, _), uv in zip(buf, ups):
                     q.put((j, uv))
@@ -153,6 +159,12 @@ def main():
     while not slam.wait_buckets(timeout=60):
         pc = slam._precompiler
         _hb(f"buckets ready: {sorted(pc._ready)} of {pc._all_caps}")
+    # absorb the one-time first-dispatch cost of the post-compile
+    # executables before the timed windows
+    for _ in range(N_POST):
+        i, vox = q.get()
+        slam(i / 30.0, vox, intr)
+    jax.block_until_ready(slam.state.poses)
     _hb("buckets ready; timing")
 
     # timed sub-windows: one block per window. The overall number is the
@@ -161,7 +173,7 @@ def main():
     # driver measured 28.55 where the builder measured 38.15, see
     # PERF_NOTES.md "Measurement rules")
     WINDOWS = 4
-    per = N_BENCH // WINDOWS
+    per = N_BENCH // WINDOWS  # 28 frames/window
     win_fps, win_qwait, win_caps, win_live, win_disp = [], [], [], [], []
     t_all0 = time.perf_counter()
     for w in range(WINDOWS):
