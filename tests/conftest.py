@@ -55,3 +55,19 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running integration test (engine golden, "
         "checkpoint resume)")
+    config.addinivalue_line(
+        "markers", "fullmatrix: exhaustive-variant leg of a test matrix; "
+        "skipped by default (VERDICT r03: the interpret-mode banded engine "
+        "matrix took the suite to 68 min). Run with DEVO_FULL_SUITE=1; the "
+        "fast default keeps one representative per matrix so the shipping "
+        "configuration stays covered on every run.")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("DEVO_FULL_SUITE", "").strip() in ("1", "true", "yes"):
+        return
+    skip = pytest.mark.skip(
+        reason="fullmatrix variant; set DEVO_FULL_SUITE=1 to run")
+    for item in items:
+        if "fullmatrix" in item.keywords:
+            item.add_marker(skip)

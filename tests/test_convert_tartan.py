@@ -123,6 +123,117 @@ def test_upsampled_esim_fills_the_motion_path():
     assert (upsamp & direct).sum() >= 0.5 * direct.sum()
 
 
+def test_upsampled_event_statistics_match_analytic_tv():
+    """VERDICT r03 item 7: beyond spatial support, the upsampled event
+    STATISTICS must match the analytic ESIM expectation. For a smooth
+    texture translating at constant velocity v, a pixel's event count over
+    the sequence is the total variation of log-intensity along its motion
+    path divided by the contrast threshold (events are threshold crossings
+    with reference carry-over), and its signed net count telescopes to the
+    endpoint log-intensity change. The direct (no-vid2e-stage) simulation
+    only sees per-frame endpoint differences and must undercount badly when
+    the texture oscillates within one frame's displacement
+    (/root/reference/scripts/convert_tartan.py:178-216)."""
+    from devo_tpu.data.esim import ESIM, upsample_frames
+
+    H, W, V, T, FACTOR, C = 48, 160, 10, 4, 8, 0.1
+    rng = np.random.default_rng(7)
+    tex = cv2.GaussianBlur(rng.random((H, W + V * T + 8)).astype(np.float32),
+                           (0, 0), 2.0)
+    tex = 0.15 + 0.7 * (tex - tex.min()) / (tex.max() - tex.min())
+
+    def frames():
+        for i in range(T + 1):
+            yield tex[:, i * V:i * V + W].copy(), i * 10_000.0
+
+    def run(factor):
+        esim = ESIM(C, C)
+        pos = np.zeros((H, W), np.int64)
+        neg = np.zeros((H, W), np.int64)
+        stream = (upsample_frames(frames(), factor, "flow")
+                  if factor > 1 else frames())
+        for img, t in stream:
+            x, y, _, p = esim.forward(img, t)
+            np.add.at(pos, (y[p > 0], x[p > 0]), 1)
+            np.add.at(neg, (y[p < 0], x[p < 0]), 1)
+        return pos, neg
+
+    pos_u, neg_u = run(FACTOR)
+    pos_d, neg_d = run(1)
+
+    # ideal-interpolator reference: feed ESIM the EXACT sub-pixel-shifted
+    # frames (what a perfect vid2e stage would emit for pure translation).
+    # The upsampler must reproduce this event stream's statistics.
+    def ideal_frames():
+        for k in range(T * FACTOR + 1):
+            s = k * V / FACTOR
+            x = np.arange(W) + s
+            x0_ = np.floor(x).astype(np.int64)
+            fx_ = (x - x0_).astype(np.float32)
+            yield (1 - fx_) * tex[:, x0_] + fx_ * tex[:, x0_ + 1], k * 1250.0
+
+    esim_i = ESIM(C, C)
+    pos_i = np.zeros((H, W), np.int64)
+    neg_i = np.zeros((H, W), np.int64)
+    for img, t in ideal_frames():
+        x, y, _, p = esim_i.forward(img, t)
+        np.add.at(pos_i, (y[p > 0], x[p > 0]), 1)
+        np.add.at(neg_i, (y[p < 0], x[p < 0]), 1)
+
+    # analytic envelope: sample log-intensity along each pixel's path at
+    # the upsampler's sub-step granularity (linear interp in intensity, as
+    # the warp interpolates) and quantize its total variation by C
+    sub = np.arange(0, V * T + 1e-6, V / FACTOR)
+    xs = np.arange(W)[None, :, None] + sub[None, None, :]        # (1, W, S)
+    x0 = np.floor(xs).astype(np.int64)
+    fx = (xs - x0).astype(np.float32)
+    path = (tex[:, :, None] * 0).astype(np.float32)  # placeholder dtype
+    path = (1 - fx) * tex[:, x0[0]] + fx * tex[:, x0[0] + 1]     # (H, W, S)
+    logp = np.log(path + 1e-3)
+    tv = np.abs(np.diff(logp, axis=-1)).sum(-1)
+    expected = tv / C
+
+    # interior pixels only: border-replicate warps and Farneback window
+    # effects corrupt a margin of ~flow winsize + total displacement
+    iy, ix = slice(12, H - 12), slice(52, W - 52)
+    tot_u = (pos_u + neg_u)[iy, ix].astype(np.float64)
+    tot_d = (pos_d + neg_d)[iy, ix].astype(np.float64)
+    tot_i = (pos_i + neg_i)[iy, ix].astype(np.float64)
+    exp_i = expected[iy, ix]
+
+    # 1) against the ideal interpolator: per-pixel counts must agree
+    # closely (measured: bit-identical for pure translation — phase
+    # correlation recovers the integer shift exactly; tolerance leaves room
+    # for Farneback noise on other platforms' cv2 builds)
+    l1 = np.abs(tot_u - tot_i).sum() / tot_i.sum()
+    assert l1 <= 0.1, f"upsampled vs ideal-path ESIM L1 ratio {l1:.3f}"
+
+    # 2) analytic TV envelope: ESIM's reference-carryover quantizer loses
+    # up to ~2C of variation at each direction reversal of the path, so
+    # counts land BELOW TV/C but within a bounded factor (measured 0.70
+    # for this texture; an addressing/threshold bug lands far outside)
+    ratio_u = tot_u.sum() / exp_i.sum()
+    ratio_d = tot_d.sum() / exp_i.sum()
+    assert 0.5 <= ratio_u <= 1.05, \
+        f"upsampled event mass {ratio_u:.3f}x the analytic TV expectation"
+    # the per-pixel SHAPE must match too, not just the mass
+    cc = np.corrcoef(tot_u.ravel(), exp_i.ravel())[0, 1]
+    assert cc > 0.9, f"per-pixel count correlation {cc:.3f}"
+    # direct sim undercounts: it only sees per-frame endpoint differences
+    assert ratio_d < 0.5 * ratio_u, \
+        f"direct sim should badly undercount ({ratio_d:.3f} vs {ratio_u:.3f})"
+
+    # polarity balance telescopes to the endpoint log change (+- one
+    # threshold of quantization hysteresis per polarity, small slack for
+    # interpolation error)
+    net = C * (pos_u - neg_u)[iy, ix]
+    dlog = (np.log(tex[:, V * T:V * T + W] + 1e-3)
+            - np.log(tex[:, 0:W] + 1e-3))[iy, ix]
+    err = np.abs(net - dlog)
+    assert np.percentile(err, 95) <= 3 * C, \
+        f"net polarity vs endpoint log change p95 err {np.percentile(err, 95):.3f}"
+
+
 def test_upsample_factor_one_is_identity():
     from devo_tpu.data.esim import simulate_sequence
 

@@ -22,11 +22,21 @@ from test_engine_golden import CFG, run_both
 N_FRAMES = 18  # past init (8) + keyframe window: culls + ring shifts occur
 
 
+FM = pytest.mark.fullmatrix
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "i8,l4res,kern",
-    [(False, "off", "pair"), (True, "off", "pair"), (True, "off", "split"),
-     (True, "off", "split2"), (True, "auto", "split")],
+    # fast default subset: the SHIPPING config (i8-pair) + the bf16 ring
+    # variant. The split/split2/l4resident fallbacks run under
+    # DEVO_FULL_SUITE=1 (suite-speed split, VERDICT r03 item 4; they share
+    # all banding/ring plumbing with the pair path and have kernel-level
+    # goldens in test_corr_pallas.py on every run).
+    [(False, "off", "pair"), (True, "off", "pair"),
+     pytest.param(True, "off", "split", marks=FM),
+     pytest.param(True, "off", "split2", marks=FM),
+     pytest.param(True, "auto", "split", marks=FM)],
     ids=["bf16-pair", "i8-pair", "i8-split", "i8-split2", "i8-l4resident"])
 def test_engine_banded_matches_oracle(i8, l4res, kern, monkeypatch):
     # CORR_KERNEL="g8c" is correctness-covered at the kernel level
