@@ -65,7 +65,11 @@ def main():
     # freshly-(de)serialized bucket executable pays ~0.5 s of host-side
     # setup (measured as window-1 dispatch 0.51 s vs 0.04 s steady) that is
     # one-time cost, not throughput
-    N_WARM, N_POST, N_BENCH = 48, 8, 112
+    # N_POST is a floor: after it, post frames continue until the live-edge
+    # count plateaus (ADVICE r03: window 1 otherwise starts below steady
+    # load — 7776 vs 9600 live edges — and flatters the overall number),
+    # bounded by N_POST_MAX so a pathological config still terminates.
+    N_WARM, N_POST, N_POST_MAX, N_BENCH = 48, 8, 72, 112
 
     # the motion-probe gate is a learned behavior (devo.py:531-534); with
     # random weights it rejects every frame and the bench would measure the
@@ -132,7 +136,7 @@ def main():
     UPLOAD_BATCH = 8
     q: "queue.Queue" = queue.Queue()
 
-    N_TOT = N_WARM + N_POST + N_BENCH
+    N_TOT = N_WARM + N_POST_MAX + N_BENCH
 
     def uploader():
         buf = []
@@ -160,12 +164,34 @@ def main():
         pc = slam._precompiler
         _hb(f"buckets ready: {sorted(pc._ready)} of {pc._all_caps}")
     # absorb the one-time first-dispatch cost of the post-compile
-    # executables before the timed windows
+    # executables before the timed windows. The precompiler's _warm_bucket
+    # already runs one throwaway step per bucket as it compiles, so every
+    # bucket executable has been dispatched once by now; these N_POST frames
+    # additionally cover the main-thread re-dispatch of whichever bucket is
+    # resident (the 0.51 s window-1 dispatch spike measured in r03). Buckets
+    # NOT visited before timing would still pay that cost mid-window — in
+    # practice the timed windows stay in one bucket (window_bucket_caps).
     for _ in range(N_POST):
         i, vox = q.get()
         slam(i / 30.0, vox, intr)
     jax.block_until_ready(slam.state.poses)
-    _hb("buckets ready; timing")
+    # keep running post frames until the live-edge count plateaus so every
+    # timed window measures steady-state load (growth < 16 edges/frame over
+    # a 4-frame probe; each probe costs one ~31 ms sync read, outside the
+    # timed windows)
+    used = N_POST
+    cur = prev = int(slam.state.n_edges)
+    while used + 4 <= N_POST_MAX:
+        for _ in range(4):
+            i, vox = q.get()
+            slam(i / 30.0, vox, intr)
+        used += 4
+        jax.block_until_ready(slam.state.poses)
+        cur = int(slam.state.n_edges)
+        if cur - prev < 64:
+            break
+        prev = cur
+    _hb(f"buckets ready; {cur} live edges after {used} post frames; timing")
 
     # timed sub-windows: one block per window. The overall number is the
     # deliverable; the per-window spread diagnoses environment variance
@@ -221,7 +247,12 @@ def main():
         # perf-triage diagnostics (VERDICT r02: the bench must be able to
         # attribute its own regressions without a human at the keyboard)
         "config": {"ring_i8": ring_i8, "wire": wire, "corr_kernel": kern,
-                   "force_bucket": os.environ.get("DEVO_FORCE_BUCKET")},
+                   "force_bucket": os.environ.get("DEVO_FORCE_BUCKET"),
+                   # kernel-tune env knobs (ADVICE r03: IF/K/BE A/B runs
+                   # must be distinguishable from the JSON artifact alone)
+                   "corr_if": os.environ.get("DEVO_CORR_IF"),
+                   "corr_k": os.environ.get("DEVO_CORR_K"),
+                   "corr_be": os.environ.get("DEVO_CORR_BE")},
         "window_upload_wait_s": [round(x, 2) for x in win_qwait],
         "window_dispatch_s": [round(x, 2) for x in win_disp],
         "window_bucket_caps": win_caps,

@@ -17,6 +17,11 @@ def main():
     from devo_tpu.nets.evonet import EVONet
     from devo_tpu.runtime.config import VOConfig
     from devo_tpu.runtime.engine import DEVO
+    from devo_tpu.utils.timing import enable_compilation_cache
+
+    # without this every profile run pays cold 3-8 min remote compiles per
+    # bucket executable that bench/train runs already cached
+    enable_compilation_cache()
 
     HT, WD = 480, 640
     cfg = VOConfig(MOTION_PROBE_THRESH=-1.0)
