@@ -89,14 +89,16 @@ def main():
         sys.exit(f"BENCH_WIRE={wire!r}: expected one of i8/f16/f32")
     kern = os.environ.get("BENCH_CORR_KERNEL", "").strip().lower()
     kern = kern or VOConfig.CORR_KERNEL
-    if kern not in ("split", "split2", "pair", "g8c"):
+    if kern not in ("split", "split2", "pair", "pair2", "mono", "g8c"):
         sys.exit(f"BENCH_CORR_KERNEL={kern!r}: expected "
-                 "split/split2/pair/g8c")
+                 "split/split2/pair/pair2/mono/g8c")
+    wr1 = int(os.environ.get("BENCH_CORR_WR1", "0")) or VOConfig.CORR_WIN_L1
     cfg = VOConfig(
         MOTION_PROBE_THRESH=-1.0,
         CORR_RING_I8=ring_i8,
         VOXEL_WIRE=wire,
         CORR_KERNEL=kern,
+        CORR_WIN_L1=wr1,
     )
     net = EVONet(P=cfg.P, dim_inet=cfg.DIM_INET, dim_fnet=cfg.DIM_FNET,
                  dim=cfg.DIM, patch_selector=cfg.PATCH_SELECTOR)
@@ -250,6 +252,7 @@ def main():
                    "force_bucket": os.environ.get("DEVO_FORCE_BUCKET"),
                    # kernel-tune env knobs (ADVICE r03: IF/K/BE A/B runs
                    # must be distinguishable from the JSON artifact alone)
+                   "corr_win_l1": wr1,
                    "corr_if": os.environ.get("DEVO_CORR_IF"),
                    "corr_k": os.environ.get("DEVO_CORR_K"),
                    "corr_be": os.environ.get("DEVO_CORR_BE")},

@@ -1414,6 +1414,375 @@ def corr_pyramid_pair(
     return jnp.stack(outs, axis=-1).reshape(E, -1)
 
 
+BE2P = int(_os.environ.get("DEVO_CORR_BE2P", "32"))  # pair2 edge block size
+K2P = int(_os.environ.get("DEVO_CORR_K2P", "32"))   # pair2 window-ring slots
+IF2P = int(_os.environ.get("DEVO_CORR_IF2P", "24"))  # pair2 DMA issue depth
+# pair2 VMEM: the R scratch layout (BE, wr, BWIN, 16) tile-pads its 16-lane
+# minor dim to 128 (8x), so double-buffering both levels costs
+# 2*2*BE2P*(wra+wrb)*BWIN*128*2B — at BE2P=32, wins=(16,10): 10.2 MB, plus
+# window rings K2P*(wra+wrb)*BWIN*C i8 at K2P=32: 2.4 MB (~13.5 MB total;
+# BE2P=64/K2P=64 OOMs at 24.4M > 16M).
+
+
+def _kernel_banded_pair2(nlive_ref, slot_ref, row0a_ref, row0b_ref,  # prefetch
+                         sa_ref, sb_ref,            # (EP+BE,) f32 dequant
+                         g_ref,                     # (BE2P, 16, C) block b
+                         rya_ref, rxa_ref, ryb_ref, rxb_ref,  # block b-1
+                         fa_hbm, fb_hbm,            # per-level banded rings
+                         outa_ref, outb_ref,        # block b-1 (lagged)
+                         wina, winb, rbufa, rbufb, semsa, semsb,
+                         *, C: int, PP: int, nblk: int, wra: int, wrb: int,
+                         wi8: bool):
+    """Two-level pair kernel with TRUE cross-block DMA continuation.
+
+    The r04 descriptor-wall probe (scripts/probe_desc_wall.py) killed the
+    issue-rate model: window DMA is STREAM-BANDWIDTH bound (~220 GB/s flat
+    from 48 KB to 384 KB descriptors, ~0.09 us fixed issue cost, and
+    multiple semaphore streams do NOT aggregate). The lever left is keeping
+    that one stream busy 100% of the time. `pair` stalls it for ~BE*0.38 us
+    every block while the extraction loop runs (DMA issue is a core
+    instruction — nothing new is issued during extraction, so at most the
+    IF in-flight windows stream). This kernel:
+
+      - indexes the window-DMA sequence GLOBALLY (q = b*BE + e), so the
+        issue-ahead of block b's matmul loop flows into block b+1's
+        descriptors — bounded by the live-rounded edge count, preserving
+        the early exit and leaking no semaphores;
+      - runs extraction for block b-1 AFTER block b's matmul phase (out /
+        ry / rx BlockSpecs lag one block, as _kernel_banded_split2), with
+        up to IF2P windows x 2 levels in flight streaming beneath it;
+      - sizes the ring as deep as the R-scratch VMEM blowup allows
+        (K2P slots, IF2P in flight; ~1.9 MB in-flight bytes at wr 16/10
+        covers ~70% of the ~12 us per-block extraction phase at the
+        measured ~220 GB/s).
+    """
+    b = pl.program_id(0)
+    nlive = nlive_ref[0]
+    qlive = ((nlive + BE2P - 1) // BE2P) * BE2P   # issue bound (block-rounded)
+
+    def dma(q, row0_ref, f_hbm, win, sems, wr):
+        if wi8:
+            r0 = pl.multiple_of(row0_ref[q], 8)   # pre-multiplied by BWIN
+            return pltpu.make_async_copy(
+                f_hbm.at[slot_ref[q], pl.ds(r0, wr * BWIN)],
+                win.at[q % K2P], sems.at[q % K2P])
+        return pltpu.make_async_copy(
+            f_hbm.at[slot_ref[q], pl.ds(row0_ref[q], wr)],
+            win.at[q % K2P], sems.at[q % K2P])
+
+    dma_a = functools.partial(dma, row0_ref=row0a_ref, f_hbm=fa_hbm,
+                              win=wina, sems=semsa, wr=wra)
+    dma_b = functools.partial(dma, row0_ref=row0b_ref, f_hbm=fb_hbm,
+                              win=winb, sems=semsb, wr=wrb)
+
+    # ---- phase A (blocks 0..nblk-1): stream DMAs + matmuls into rbuf[b%2]
+    @pl.when((b < nblk) & (b * BE2P < nlive))
+    def _mm():
+        @pl.when(b == 0)
+        def _prologue():
+            def pro(k, _):
+                @pl.when(k < qlive)
+                def _():
+                    dma_a(k).start()
+                    dma_b(k).start()
+                return 0
+            jax.lax.fori_loop(0, IF2P, pro, 0)
+
+        def mm_body(e, _):
+            q = b * BE2P + e
+            dma_a(q).wait()
+
+            @pl.when(q + IF2P < qlive)
+            def _():
+                dma_a(q + IF2P).start()
+            wa = wina[q % K2P].reshape(wra * BWIN, C)
+            if wi8:
+                wa = wa.astype(jnp.bfloat16)
+            Ra = jax.lax.dot_general(
+                wa, g_ref[e], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dma_b(q).wait()
+
+            @pl.when(q + IF2P < qlive)
+            def _():
+                dma_b(q + IF2P).start()
+            wb = winb[q % K2P].reshape(wrb * BWIN, C)
+            if wi8:
+                wb = wb.astype(jnp.bfloat16)
+            Rb = jax.lax.dot_general(
+                wb, g_ref[e], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            rbufa[b % 2, e] = Ra.reshape(wra, BWIN, 16).astype(rbufa.dtype)
+            rbufb[b % 2, e] = Rb.reshape(wrb, BWIN, 16).astype(rbufb.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, BE2P, mm_body, 0)
+
+    # ---- phase B (blocks 1..nblk): extract block b-1 from rbuf[(b-1)%2]
+    @pl.when((b > 0) & ((b - 1) * BE2P < nlive))
+    def _ext():
+        def ext_body(e, _):
+            parts_a, parts_b = [], []
+            for p in range(PP):
+                rxa8 = pl.multiple_of(rxa_ref[e, p] * 8, 8)
+                parts_a.append(rbufa[(b - 1) % 2, e,
+                                     pl.ds(rya_ref[e, p], 8),
+                                     pl.ds(rxa8, 16), p])
+                rxb8 = pl.multiple_of(rxb_ref[e, p] * 8, 8)
+                parts_b.append(rbufb[(b - 1) % 2, e,
+                                     pl.ds(ryb_ref[e, p], 8),
+                                     pl.ds(rxb8, 16), p])
+            sa = jnp.concatenate(parts_a, axis=1).astype(jnp.float32)
+            sb = jnp.concatenate(parts_b, axis=1).astype(jnp.float32)
+            if wi8:
+                sa = sa * sa_ref[(b - 1) * BE2P + e]
+                sb = sb * sb_ref[(b - 1) * BE2P + e]
+            outa_ref[e] = sa
+            outb_ref[e] = sb
+            return 0
+
+        jax.lax.fori_loop(0, BE2P, ext_body, 0)
+
+
+def _kernel_banded_mono(nlive_ref, slot_ref, row0a_ref, row0b_ref,  # prefetch
+                        sa_ref, sb_ref,            # (EP+BE2P,) f32 dequant
+                        g_ref,                     # (BE2P, 16, C) block b
+                        rya_ref, rxa_ref, ryb_ref, rxb_ref,  # block b-1
+                        fa_hbm, fb_hbm,            # per-level banded rings
+                        outa_ref, outb_ref,        # block b-1 (lagged)
+                        win, rbufa, rbufb, sems,
+                        *, C: int, PP: int, nblk: int, wra: int, wrb: int,
+                        wi8: bool):
+    """Single-dot merged-loop two-level kernel.
+
+    The pair/pair2 engine A/B (r04: 47.0 vs 47.6 FPS) showed the kernel is
+    CORE-SERIAL bound, not DMA-wait bound: per edge the scalar core issues
+    two small dots (each paying an MXU pipeline fill on (wr*BWIN, C) x
+    (C, 16)), two window DMAs, and — in a separate serial phase — ~0.38 us
+    of VPU extraction slices. This kernel attacks the core-serial path:
+
+      - BOTH levels' windows land in ONE stacked VMEM buffer (level a at
+        rows [0, wra*BWIN), level b at [wra*BWIN, ..), one semaphore slot
+        signaled twice), so each edge runs ONE (wra*BWIN + wrb*BWIN, C) x
+        (C, 16) dot — half the MXU pipeline fills;
+      - extraction of block b-1's edge e is INLINED into the same loop
+        iteration as block b's edge-e matmul, so the VPU slice chain and
+        the MXU dot of consecutive iterations can overlap in the hardware
+        scoreboard instead of running as two serial phases;
+      - keeps pair2's global DMA indexing (cross-block issue-ahead,
+        live-rounded bound, no semaphore leaks).
+    """
+    b = pl.program_id(0)
+    nlive = nlive_ref[0]
+    qlive = ((nlive + BE2P - 1) // BE2P) * BE2P
+    WRA, WRB = wra * BWIN, wrb * BWIN
+    TOT = WRA + WRB
+
+    def dma_a(q):
+        if wi8:
+            r0 = pl.multiple_of(row0a_ref[q], 8)
+            return pltpu.make_async_copy(
+                fa_hbm.at[slot_ref[q], pl.ds(r0, WRA)],
+                win.at[q % K2P, pl.ds(0, WRA)], sems.at[q % K2P])
+        return pltpu.make_async_copy(
+            fa_hbm.at[slot_ref[q], pl.ds(row0a_ref[q], wra)],
+            win.at[q % K2P, pl.ds(0, wra)], sems.at[q % K2P])
+
+    def dma_b(q):
+        if wi8:
+            r0 = pl.multiple_of(row0b_ref[q], 8)
+            return pltpu.make_async_copy(
+                fb_hbm.at[slot_ref[q], pl.ds(r0, WRB)],
+                win.at[q % K2P, pl.ds(WRA, WRB)], sems.at[q % K2P])
+        return pltpu.make_async_copy(
+            fb_hbm.at[slot_ref[q], pl.ds(row0b_ref[q], wrb)],
+            win.at[q % K2P, pl.ds(wra, wrb)], sems.at[q % K2P])
+
+    def mm_edge(e):
+        q = b * BE2P + e
+        # two waits on the shared slot semaphore — each copy signals its
+        # own byte count
+        dma_a(q).wait()
+        dma_b(q).wait()
+
+        @pl.when(q + IF2P < qlive)
+        def _():
+            dma_a(q + IF2P).start()
+            dma_b(q + IF2P).start()
+        w = win[q % K2P]
+        if wi8:
+            w = w.astype(jnp.bfloat16)      # flat (TOT, C) layout
+        else:
+            w = w.reshape(TOT, C)           # (wra + wrb, BWIN, C) layout
+        R = jax.lax.dot_general(
+            w, g_ref[e], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        rbufa[b % 2, e] = R[0:WRA].reshape(wra, BWIN, 16).astype(rbufa.dtype)
+        rbufb[b % 2, e] = R[WRA:TOT].reshape(wrb, BWIN, 16).astype(rbufb.dtype)
+
+    def ext_edge(e):
+        parts_a, parts_b = [], []
+        for p in range(PP):
+            rxa8 = pl.multiple_of(rxa_ref[e, p] * 8, 8)
+            parts_a.append(rbufa[(b - 1) % 2, e,
+                                 pl.ds(rya_ref[e, p], 8),
+                                 pl.ds(rxa8, 16), p])
+            rxb8 = pl.multiple_of(rxb_ref[e, p] * 8, 8)
+            parts_b.append(rbufb[(b - 1) % 2, e,
+                                 pl.ds(ryb_ref[e, p], 8),
+                                 pl.ds(rxb8, 16), p])
+        sa = jnp.concatenate(parts_a, axis=1).astype(jnp.float32)
+        sb = jnp.concatenate(parts_b, axis=1).astype(jnp.float32)
+        if wi8:
+            sa = sa * sa_ref[(b - 1) * BE2P + e]
+            sb = sb * sb_ref[(b - 1) * BE2P + e]
+        outa_ref[e] = sa
+        outb_ref[e] = sb
+
+    active_mm = (b < nblk) & (b * BE2P < nlive)
+    ext_due = (b > 0) & ((b - 1) * BE2P < nlive)
+
+    @pl.when(active_mm & (b == 0))
+    def _first():
+        def pro(k, _):
+            @pl.when(k < qlive)
+            def _():
+                dma_a(k).start()
+                dma_b(k).start()
+            return 0
+        jax.lax.fori_loop(0, IF2P, pro, 0)
+
+        def body(e, _):
+            mm_edge(e)
+            return 0
+        jax.lax.fori_loop(0, BE2P, body, 0)
+
+    @pl.when(active_mm & (b > 0))
+    def _mm_ext():
+        def body(e, _):
+            mm_edge(e)
+            ext_edge(e)
+            return 0
+        jax.lax.fori_loop(0, BE2P, body, 0)
+
+    @pl.when((~active_mm) & ext_due)
+    def _ext_only():
+        def body(e, _):
+            ext_edge(e)
+            return 0
+        jax.lax.fori_loop(0, BE2P, body, 0)
+
+
+def corr_pyramid_pair2(gmap, fa, fb, coords, kk, jj, mask, n_live, hw,
+                       levels=(1, 4), radius=3, scales=(None, None),
+                       wins=None, variant="pair2"):
+    """corr_pyramid_pair with the cross-block-pipelined pair2 kernel; same
+    output contract ([dx, dy, pixel, level]). variant="mono" swaps in the
+    single-dot merged-loop kernel (same plumbing, one stacked window buffer
+    + one semaphore array)."""
+    assert radius == 3, "window constants assume r = 3"
+    wi8 = fa.dtype == jnp.int8
+    assert (fb.dtype == jnp.int8) == wi8, "pair levels must share a dtype"
+    if wins is None:
+        wins = tuple(level_win_rows(lvl) for lvl in levels)
+    wra, wrb = wins
+    if wi8:
+        assert scales[0] is not None and scales[1] is not None
+        mem, rowsf, C = fa.shape
+    else:
+        mem, _, _, C = fa.shape
+    E, P = coords.shape[0], coords.shape[1]
+    PP = P * P
+
+    idx = []
+    for f, lvl, wr in zip((fa, fb), levels, wins):
+        h, w = hw[0] // lvl, hw[1] // lvl
+        rows, hp = banded_shape(h, w)
+        nbx = (rows - STAGGER) // hp
+        idx.append(_pair_level_index(coords / lvl, mask, jj, hp, nbx, wr,
+                                     radius, wi8))
+    (fxa, fya, rxoa, row0a, rya, rxa) = idx[0]
+    (fxb, fyb, rxob, row0b, ryb, rxb) = idx[1]
+
+    g = lookup_g(gmap, kk, mask)
+    slot_g = jnp.where(mask, jj, 0).astype(jnp.int32)
+    nlive = jnp.asarray(n_live, jnp.int32).reshape(1)
+
+    if wi8:
+        oh = (slot_g[:, None] == jnp.arange(mem)[None, :]).astype(jnp.float32)
+        s_a = oh @ scales[0].astype(jnp.float32)
+        s_b = oh @ scales[1].astype(jnp.float32)
+    else:
+        s_a = s_b = jnp.zeros((E,), jnp.float32)   # unused
+
+    EP = ((E + BE2P - 1) // BE2P) * BE2P
+    if EP != E:
+        padn = EP - E
+        pad1 = lambda a: jnp.pad(a, [(0, padn)] + [(0, 0)] * (a.ndim - 1))
+        slot_g, row0a, row0b = pad1(slot_g), pad1(row0a), pad1(row0b)
+        rya, rxa, ryb, rxb = pad1(rya), pad1(rxa), pad1(ryb), pad1(rxb)
+        g, s_a, s_b = pad1(g), pad1(s_a), pad1(s_b)
+
+    # one extra zero block: the tail grid step's (inactive) phase-A helpers
+    # and the scale lookups at block index nblk must stay in range
+    nblk = EP // BE2P
+    padB = lambda a: jnp.pad(a, [(0, BE2P)] + [(0, 0)] * (a.ndim - 1))
+
+    win_scr = (
+        (lambda wr: pltpu.VMEM((K2P, wr * BWIN, C), jnp.int8)) if wi8
+        else (lambda wr: pltpu.VMEM((K2P, wr, BWIN, C), jnp.bfloat16)))
+    rbuf_scr = [pltpu.VMEM((2, BE2P, wra, BWIN, 16), jnp.bfloat16),
+                pltpu.VMEM((2, BE2P, wrb, BWIN, 16), jnp.bfloat16)]
+    if variant == "mono":
+        # one stacked window buffer (level a rows first) + one semaphore
+        # array (each slot signaled by both levels' copies)
+        scratch = ([win_scr(wra + wrb)] + rbuf_scr
+                   + [pltpu.SemaphoreType.DMA((K2P,))])
+        kfn = _kernel_banded_mono
+    else:
+        scratch = ([win_scr(wra), win_scr(wrb)] + rbuf_scr
+                   + [pltpu.SemaphoreType.DMA((K2P,)),
+                      pltpu.SemaphoreType.DMA((K2P,))])
+        kfn = _kernel_banded_pair2
+    lag = lambda b, *_: (jnp.maximum(b - 1, 0), 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(nblk + 1,),
+        in_specs=[
+            pl.BlockSpec((BE2P, 16, C), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),    # g (block b)
+            pl.BlockSpec((BE2P, 16), lag, memory_space=pltpu.VMEM),  # rya
+            pl.BlockSpec((BE2P, 16), lag, memory_space=pltpu.VMEM),  # rxa8
+            pl.BlockSpec((BE2P, 16), lag, memory_space=pltpu.VMEM),  # ryb
+            pl.BlockSpec((BE2P, 16), lag, memory_space=pltpu.VMEM),  # rxb8
+            pl.BlockSpec(memory_space=pl.ANY),        # fa (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),        # fb (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((BE2P, 8, 16 * PP),
+                         lambda b, *_: (jnp.maximum(b - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE2P, 8, 16 * PP),
+                         lambda b, *_: (jnp.maximum(b - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=scratch,
+    )
+    outa, outb = pl.pallas_call(
+        functools.partial(kfn, C=C, PP=PP, nblk=nblk,
+                          wra=wra, wrb=wrb, wi8=wi8),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((EP, 8, 16 * PP), jnp.float32),
+                   jax.ShapeDtypeStruct((EP, 8, 16 * PP), jnp.float32)],
+    )(nlive, padB(slot_g), padB(row0a), padB(row0b), padB(s_a), padB(s_b),
+      padB(g), rya, rxa, ryb, rxb, fa, fb)
+
+    from .corr import blend_strips
+    outs = [blend_strips(outa[:E], fxa, fya, rxoa, mask, PP),
+            blend_strips(outb[:E], fxb, fyb, rxob, mask, PP)]
+    return jnp.stack(outs, axis=-1).reshape(E, -1)
+
+
 def corr_pyramid_banded(gmap, banded_pyramid, coords, kk, jj, mask, n_live,
                         hw, radius=3, levels=(1, 4), scales=None, wins=None,
                         variant="split"):
@@ -1437,7 +1806,7 @@ def corr_pyramid_banded(gmap, banded_pyramid, coords, kk, jj, mask, n_live,
         scales = (None,) * len(banded_pyramid)
     if wins is None:
         wins = tuple(level_win_rows(lvl) for lvl in levels)
-    if variant == "pair":
+    if variant in ("pair", "pair2", "mono"):
         assert len(banded_pyramid) == 2, "pair kernel is two-level"
         assert all(fb.ndim == (3 if fb.dtype == jnp.int8 else 4)
                    for fb in banded_pyramid), \
@@ -1449,10 +1818,15 @@ def corr_pyramid_banded(gmap, banded_pyramid, coords, kk, jj, mask, n_live,
             assert got == want, (
                 f"banded ring rows {got} != {want} expected for hw={hw} "
                 f"level {lvl}")
-        return corr_pyramid_pair(gmap, banded_pyramid[0], banded_pyramid[1],
-                                 coords, kk, jj, mask, n_live, hw,
-                                 levels=levels, radius=radius, scales=scales,
-                                 wins=wins)
+        if variant == "pair":
+            return corr_pyramid_pair(gmap, banded_pyramid[0],
+                                     banded_pyramid[1], coords, kk, jj,
+                                     mask, n_live, hw, levels=levels,
+                                     radius=radius, scales=scales, wins=wins)
+        return corr_pyramid_pair2(gmap, banded_pyramid[0], banded_pyramid[1],
+                                  coords, kk, jj, mask, n_live, hw,
+                                  levels=levels, radius=radius,
+                                  scales=scales, wins=wins, variant=variant)
     # `hw` must be the resolution the rings were built at: a caller passing
     # a mismatched cfg.HT/WD would get wrong row0 addressing and
     # silently-garbage correlations (band_frame rows = nbx*Hp + STAGGER)

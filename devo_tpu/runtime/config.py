@@ -79,6 +79,21 @@ class VOConfig:
                                          #   extraction — measured 20-100x
                                          #   SLOWER on real v5e, kept only
                                          #   as a probe; PERF_NOTES r03).
+    CORR_WIN_L1: int = 16                # level-1 window DMA rows: 8 (8x8
+                                         #   taps incl. bilinear) + the
+                                         #   budget for per-edge patch
+                                         #   y-spread after reprojection.
+                                         #   16 (spread <= 8 px at feature
+                                         #   res) matches level_win_rows;
+                                         #   12 (spread <= 4) cuts level-1
+                                         #   window bytes 25% — the window
+                                         #   DMA is stream-bandwidth-bound
+                                         #   at ~220 GB/s (r04 probe), so
+                                         #   bytes are the lever. Edges
+                                         #   whose patch distorts > 4 px in
+                                         #   y get clipped taps (BA weight
+                                         #   gating covers them; x budget
+                                         #   stays 8).
     CORR_L4_RESIDENT: str = "off"        # level-4 ring layout: "on" = plain
                                          #   padded i8 rings, whole ring set
                                          #   VMEM-resident in the corr kernel

@@ -393,12 +393,14 @@ def _edge_features(cfg: VOConfig, st: VOState, ii, jj, kk, mask=None):
         # the table is packed, so the mask is a prefix and its sum is the
         # live count the kernel's block early-exit needs
         n_live = jnp.sum(mask).astype(jnp.int32)
+        wins = (cfg.CORR_WIN_L1,) + tuple(
+            corr_pallas.level_win_rows(lvl) for lvl in cfg.CORR_LEVELS[1:])
         corr_feat = corr_pallas.corr_pyramid_banded(
             st.gmap, (st.fmap1b, st.fmap2b), coords, kk_ring, jj_ring, mask,
             n_live, hw=(cfg.HT // 4, cfg.WD // 4),
             radius=cfg.CORR_RADIUS, levels=cfg.CORR_LEVELS,
             scales=(st.fsc1, st.fsc2) if st.fsc1.shape[0] else None,
-            variant=cfg.CORR_KERNEL)
+            variant=cfg.CORR_KERNEL, wins=wins)
     elif impl == "pallas":
         corr_feat = corr_pallas.corr_pyramid_pallas(
             st.gmap, (st.fmap1, st.fmap2), coords, kk_ring, jj_ring, mask,

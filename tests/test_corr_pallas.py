@@ -308,8 +308,9 @@ def _i8_pyramid(fmap):
     return tuple(pyr), tuple(scales), deq
 
 
+@pytest.mark.parametrize("variant", ["pair", "pair2", "mono"])
 @pytest.mark.parametrize("seed", [0, 3])
-def test_pair_i8_matches_reference(seed):
+def test_pair_i8_matches_reference(seed, variant):
     """The merged two-level kernel vs the gather reference on int8-exact
     quantized frames, both levels."""
     gmap, fmap, coords, kk, jj, mask = make_case(seed, E=24)
@@ -322,12 +323,13 @@ def test_pair_i8_matches_reference(seed):
     with pltpu.force_tpu_interpret_mode():
         got = corr_pallas.corr_pyramid_banded(
             gmap, pyr, coords, kk, jj, mask, n_live=24, hw=(32, 40),
-            levels=(1, 2), scales=scales, wins=(16, 12), variant="pair")
+            levels=(1, 2), scales=scales, wins=(16, 12), variant=variant)
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
 
 
+@pytest.mark.parametrize("variant", ["pair", "pair2", "mono"])
 @pytest.mark.parametrize("i8", [False, True], ids=["bf16", "i8"])
-def test_pair_matches_split(i8):
+def test_pair_matches_split(i8, variant):
     """pair must agree with the per-level split kernels on the SAME rings
     (identical math, merged schedule)."""
     gmap, fmap, coords, kk, jj, mask = make_case(5, E=24)
@@ -345,12 +347,13 @@ def test_pair_matches_split(i8):
         ref = corr_pallas.corr_pyramid_banded(
             gmap, pyr, coords, kk, jj, mask, variant="split", **kw)
         got = corr_pallas.corr_pyramid_banded(
-            gmap, pyr, coords, kk, jj, mask, variant="pair", **kw)
+            gmap, pyr, coords, kk, jj, mask, variant=variant, **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
 
 
-def test_pair_early_exit_blocks():
+@pytest.mark.parametrize("variant", ["pair", "pair2", "mono"])
+def test_pair_early_exit_blocks(variant):
     """Blocks past n_live skip in the merged kernel; the live prefix must
     stay exact and dead edges zero."""
     E = 2 * corr_pallas.BE
@@ -366,7 +369,7 @@ def test_pair_early_exit_blocks():
     with pltpu.force_tpu_interpret_mode():
         got = corr_pallas.corr_pyramid_banded(
             gmap, pyr, coords, kk, jj, mask, n_live=live, hw=(32, 40),
-            levels=(1, 2), scales=scales, wins=(16, 12), variant="pair")
+            levels=(1, 2), scales=scales, wins=(16, 12), variant=variant)
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
 
 
