@@ -89,9 +89,9 @@ def main():
         sys.exit(f"BENCH_WIRE={wire!r}: expected one of i8/f16/f32")
     kern = os.environ.get("BENCH_CORR_KERNEL", "").strip().lower()
     kern = kern or VOConfig.CORR_KERNEL
-    if kern not in ("split", "split2", "pair", "pair2", "mono", "g8c"):
+    if kern not in ("split", "split2", "pair", "pair2", "mono", "mono2", "g8c"):
         sys.exit(f"BENCH_CORR_KERNEL={kern!r}: expected "
-                 "split/split2/pair/pair2/mono/g8c")
+                 "split/split2/pair/pair2/mono/mono2/g8c")
     wr1 = int(os.environ.get("BENCH_CORR_WR1", "0")) or VOConfig.CORR_WIN_L1
     cfg = VOConfig(
         MOTION_PROBE_THRESH=-1.0,
@@ -183,6 +183,7 @@ def main():
     # timed windows)
     used = N_POST
     cur = prev = int(slam.state.n_edges)
+    calm = 0
     while used + 4 <= N_POST_MAX:
         for _ in range(4):
             i, vox = q.get()
@@ -190,7 +191,12 @@ def main():
         used += 4
         jax.block_until_ready(slam.state.poses)
         cur = int(slam.state.n_edges)
-        if cur - prev < 64:
+        # append/removal cycles make growth bursty: a single low-growth
+        # probe can be a removal trough (r04: gate fired at 7776 edges,
+        # window 1 then grew to the 9600 steady state) — require TWO
+        # consecutive calm probes
+        calm = calm + 1 if cur - prev < 64 else 0
+        if calm >= 2:
             break
         prev = cur
     _hb(f"buckets ready; {cur} live edges after {used} post frames; timing")

@@ -1552,7 +1552,7 @@ def _kernel_banded_mono(nlive_ref, slot_ref, row0a_ref, row0b_ref,  # prefetch
                         outa_ref, outb_ref,        # block b-1 (lagged)
                         win, rbufa, rbufb, sems,
                         *, C: int, PP: int, nblk: int, wra: int, wrb: int,
-                        wi8: bool):
+                        wi8: bool, step2: bool = False):
     """Single-dot merged-loop two-level kernel.
 
     The pair/pair2 engine A/B (r04: 47.0 vs 47.6 FPS) showed the kernel is
@@ -1598,7 +1598,7 @@ def _kernel_banded_mono(nlive_ref, slot_ref, row0a_ref, row0b_ref,  # prefetch
             fb_hbm.at[slot_ref[q], pl.ds(row0b_ref[q], wrb)],
             win.at[q % K2P, pl.ds(wra, wrb)], sems.at[q % K2P])
 
-    def mm_edge(e):
+    def mm_edge(e, pair2x: bool = False):
         q = b * BE2P + e
         # two waits on the shared slot semaphore — each copy signals its
         # own byte count
@@ -1609,6 +1609,39 @@ def _kernel_banded_mono(nlive_ref, slot_ref, row0a_ref, row0b_ref,  # prefetch
         def _():
             dma_a(q + IF2P).start()
             dma_b(q + IF2P).start()
+        if pair2x:
+            # second edge of a 2-edge step: wait/issue its stream too, then
+            # ONE dot covers both edges' stacked windows against the
+            # sublane-concatenated (32, C) pair of g blocks. The two cross
+            # products (edge i's window x edge j's g) are wasted MXU lanes
+            # — FLOPs are free here, pipeline fills are not.
+            dma_a(q + 1).wait()
+            dma_b(q + 1).wait()
+
+            @pl.when(q + 1 + IF2P < qlive)
+            def _():
+                dma_a(q + 1 + IF2P).start()
+                dma_b(q + 1 + IF2P).start()
+            w0 = win[q % K2P]
+            w1 = win[(q + 1) % K2P]
+            if wi8:
+                w0, w1 = w0.astype(jnp.bfloat16), w1.astype(jnp.bfloat16)
+            else:
+                w0, w1 = w0.reshape(TOT, C), w1.reshape(TOT, C)
+            w2 = jnp.concatenate([w0, w1], axis=0)          # (2*TOT, C)
+            g2 = g_ref[pl.ds(e, 2)].reshape(32, C)          # (32, C)
+            R = jax.lax.dot_general(
+                w2, g2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (2*TOT, 32)
+            rbufa[b % 2, e] = (R[0:WRA, 0:16]
+                               .reshape(wra, BWIN, 16).astype(rbufa.dtype))
+            rbufb[b % 2, e] = (R[WRA:TOT, 0:16]
+                               .reshape(wrb, BWIN, 16).astype(rbufb.dtype))
+            rbufa[b % 2, e + 1] = (R[TOT:TOT + WRA, 16:32]
+                                   .reshape(wra, BWIN, 16).astype(rbufa.dtype))
+            rbufb[b % 2, e + 1] = (R[TOT + WRA:2 * TOT, 16:32]
+                                   .reshape(wrb, BWIN, 16).astype(rbufb.dtype))
+            return
         w = win[q % K2P]
         if wi8:
             w = w.astype(jnp.bfloat16)      # flat (TOT, C) layout
@@ -1642,6 +1675,8 @@ def _kernel_banded_mono(nlive_ref, slot_ref, row0a_ref, row0b_ref,  # prefetch
     active_mm = (b < nblk) & (b * BE2P < nlive)
     ext_due = (b > 0) & ((b - 1) * BE2P < nlive)
 
+    stride = 2 if step2 else 1
+
     @pl.when(active_mm & (b == 0))
     def _first():
         def pro(k, _):
@@ -1652,25 +1687,31 @@ def _kernel_banded_mono(nlive_ref, slot_ref, row0a_ref, row0b_ref,  # prefetch
             return 0
         jax.lax.fori_loop(0, IF2P, pro, 0)
 
-        def body(e, _):
-            mm_edge(e)
+        def body(i, _):
+            mm_edge(i * stride, pair2x=step2)
             return 0
-        jax.lax.fori_loop(0, BE2P, body, 0)
+        jax.lax.fori_loop(0, BE2P // stride, body, 0)
 
     @pl.when(active_mm & (b > 0))
     def _mm_ext():
-        def body(e, _):
-            mm_edge(e)
+        def body(i, _):
+            e = i * stride
+            mm_edge(e, pair2x=step2)
             ext_edge(e)
+            if step2:
+                ext_edge(e + 1)
             return 0
-        jax.lax.fori_loop(0, BE2P, body, 0)
+        jax.lax.fori_loop(0, BE2P // stride, body, 0)
 
     @pl.when((~active_mm) & ext_due)
     def _ext_only():
-        def body(e, _):
+        def body(i, _):
+            e = i * stride
             ext_edge(e)
+            if step2:
+                ext_edge(e + 1)
             return 0
-        jax.lax.fori_loop(0, BE2P, body, 0)
+        jax.lax.fori_loop(0, BE2P // stride, body, 0)
 
 
 def corr_pyramid_pair2(gmap, fa, fb, coords, kk, jj, mask, n_live, hw,
@@ -1733,12 +1774,13 @@ def corr_pyramid_pair2(gmap, fa, fb, coords, kk, jj, mask, n_live, hw,
         else (lambda wr: pltpu.VMEM((K2P, wr, BWIN, C), jnp.bfloat16)))
     rbuf_scr = [pltpu.VMEM((2, BE2P, wra, BWIN, 16), jnp.bfloat16),
                 pltpu.VMEM((2, BE2P, wrb, BWIN, 16), jnp.bfloat16)]
-    if variant == "mono":
+    if variant in ("mono", "mono2"):
         # one stacked window buffer (level a rows first) + one semaphore
         # array (each slot signaled by both levels' copies)
         scratch = ([win_scr(wra + wrb)] + rbuf_scr
                    + [pltpu.SemaphoreType.DMA((K2P,))])
-        kfn = _kernel_banded_mono
+        kfn = functools.partial(_kernel_banded_mono,
+                                step2=(variant == "mono2"))
     else:
         scratch = ([win_scr(wra), win_scr(wrb)] + rbuf_scr
                    + [pltpu.SemaphoreType.DMA((K2P,)),
@@ -1806,7 +1848,7 @@ def corr_pyramid_banded(gmap, banded_pyramid, coords, kk, jj, mask, n_live,
         scales = (None,) * len(banded_pyramid)
     if wins is None:
         wins = tuple(level_win_rows(lvl) for lvl in levels)
-    if variant in ("pair", "pair2", "mono"):
+    if variant in ("pair", "pair2", "mono", "mono2"):
         assert len(banded_pyramid) == 2, "pair kernel is two-level"
         assert all(fb.ndim == (3 if fb.dtype == jnp.int8 else 4)
                    for fb in banded_pyramid), \

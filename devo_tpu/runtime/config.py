@@ -62,12 +62,23 @@ class VOConfig:
                                          # "window" (slice-gather + MXU),
                                          # "pallas" (grouped VMEM-resident),
                                          # "gather" (naive reference form)
-    CORR_KERNEL: str = "pair"            # banded kernel flavor: "pair"
-                                         #   (both pyramid levels in ONE
-                                         #   kernel, shared per-edge g block,
-                                         #   per-level DMA pipelines — engine
-                                         #   bench 43.9 vs 41.6 FPS over
-                                         #   per-level split, r03),
+    CORR_KERNEL: str = "mono"            # banded kernel flavor: "mono"
+                                         #   (both levels' windows in ONE
+                                         #   stacked buffer -> ONE dot per
+                                         #   edge, extraction inlined into
+                                         #   the matmul loop, cross-block
+                                         #   DMA continuation — engine bench
+                                         #   53.8 vs pair 47.0 FPS, r04),
+                                         # "mono2" (mono with 2-edge dot
+                                         #   batching),
+                                         # "pair2" (per-level buffers,
+                                         #   phase-split ext, cross-block
+                                         #   DMA continuation),
+                                         # "pair" (both pyramid levels in
+                                         #   ONE kernel, shared per-edge g
+                                         #   block, per-level DMA pipelines
+                                         #   — engine bench 43.9 vs 41.6 FPS
+                                         #   over per-level split, r03),
                                          # "split" (phase-split DMA+MXU then
                                          #   in-kernel per-edge extraction,
                                          #   one call per level),
@@ -79,14 +90,15 @@ class VOConfig:
                                          #   extraction — measured 20-100x
                                          #   SLOWER on real v5e, kept only
                                          #   as a probe; PERF_NOTES r03).
-    CORR_WIN_L1: int = 16                # level-1 window DMA rows: 8 (8x8
+    CORR_WIN_L1: int = 12                # level-1 window DMA rows: 8 (8x8
                                          #   taps incl. bilinear) + the
                                          #   budget for per-edge patch
                                          #   y-spread after reprojection.
                                          #   16 (spread <= 8 px at feature
                                          #   res) matches level_win_rows;
-                                         #   12 (spread <= 4) cuts level-1
-                                         #   window bytes 25% — the window
+                                         #   12 (spread <= 4, the default —
+                                         #   +1.1 FPS measured r04) cuts
+                                         #   level-1 window bytes 25% — the
                                          #   DMA is stream-bandwidth-bound
                                          #   at ~220 GB/s (r04 probe), so
                                          #   bytes are the lever. Edges

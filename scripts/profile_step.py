@@ -24,7 +24,10 @@ def main():
     enable_compilation_cache()
 
     HT, WD = 480, 640
-    cfg = VOConfig(MOTION_PROBE_THRESH=-1.0)
+    kern = os.environ.get("BENCH_CORR_KERNEL", "") or VOConfig.CORR_KERNEL
+    wr1 = int(os.environ.get("BENCH_CORR_WR1", "0")) or VOConfig.CORR_WIN_L1
+    cfg = VOConfig(MOTION_PROBE_THRESH=-1.0, CORR_KERNEL=kern,
+                   CORR_WIN_L1=wr1)
     net = EVONet(P=cfg.P, dim_inet=cfg.DIM_INET, dim_fnet=cfg.DIM_FNET,
                  dim=cfg.DIM, patch_selector=cfg.PATCH_SELECTOR)
     params = net.init(jax.random.PRNGKey(0),

@@ -308,7 +308,7 @@ def _i8_pyramid(fmap):
     return tuple(pyr), tuple(scales), deq
 
 
-@pytest.mark.parametrize("variant", ["pair", "pair2", "mono"])
+@pytest.mark.parametrize("variant", ["pair", "pair2", "mono", "mono2"])
 @pytest.mark.parametrize("seed", [0, 3])
 def test_pair_i8_matches_reference(seed, variant):
     """The merged two-level kernel vs the gather reference on int8-exact
@@ -327,7 +327,7 @@ def test_pair_i8_matches_reference(seed, variant):
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
 
 
-@pytest.mark.parametrize("variant", ["pair", "pair2", "mono"])
+@pytest.mark.parametrize("variant", ["pair", "pair2", "mono", "mono2"])
 @pytest.mark.parametrize("i8", [False, True], ids=["bf16", "i8"])
 def test_pair_matches_split(i8, variant):
     """pair must agree with the per-level split kernels on the SAME rings
@@ -352,7 +352,7 @@ def test_pair_matches_split(i8, variant):
                                atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("variant", ["pair", "pair2", "mono"])
+@pytest.mark.parametrize("variant", ["pair", "pair2", "mono", "mono2"])
 def test_pair_early_exit_blocks(variant):
     """Blocks past n_live skip in the merged kernel; the live prefix must
     stay exact and dead edges zero."""

@@ -33,11 +33,14 @@ FM = pytest.mark.fullmatrix
     # DEVO_FULL_SUITE=1 (suite-speed split, VERDICT r03 item 4; they share
     # all banding/ring plumbing with the pair path and have kernel-level
     # goldens in test_corr_pallas.py on every run).
-    [(False, "off", "pair"), (True, "off", "pair"),
+    [(False, "off", "mono"), (True, "off", "mono"),
+     pytest.param(True, "off", "mono2", marks=FM),
+     pytest.param(True, "off", "pair", marks=FM),
      pytest.param(True, "off", "split", marks=FM),
      pytest.param(True, "off", "split2", marks=FM),
      pytest.param(True, "auto", "split", marks=FM)],
-    ids=["bf16-pair", "i8-pair", "i8-split", "i8-split2", "i8-l4resident"])
+    ids=["bf16-mono", "i8-mono", "i8-mono2", "i8-pair", "i8-split",
+         "i8-split2", "i8-l4resident"])
 def test_engine_banded_matches_oracle(i8, l4res, kern, monkeypatch):
     # CORR_KERNEL="g8c" is correctness-covered at the kernel level
     # (test_corr_pallas.py); it is a hardware-rejected probe (PERF_NOTES
