@@ -1537,8 +1537,8 @@ def _kernel_banded_pair2(nlive_ref, slot_ref, row0a_ref, row0b_ref,  # prefetch
             if wi8:
                 sa = sa * sa_ref[(b - 1) * BE2P + e]
                 sb = sb * sb_ref[(b - 1) * BE2P + e]
-            outa_ref[e] = sa
-            outb_ref[e] = sb
+            outa_ref[e] = sa.astype(outa_ref.dtype)
+            outb_ref[e] = sb.astype(outb_ref.dtype)
             return 0
 
         jax.lax.fori_loop(0, BE2P, ext_body, 0)
@@ -1669,8 +1669,8 @@ def _kernel_banded_mono(nlive_ref, slot_ref, row0a_ref, row0b_ref,  # prefetch
         if wi8:
             sa = sa * sa_ref[(b - 1) * BE2P + e]
             sb = sb * sb_ref[(b - 1) * BE2P + e]
-        outa_ref[e] = sa
-        outb_ref[e] = sb
+        outa_ref[e] = sa.astype(outa_ref.dtype)
+        outb_ref[e] = sb.astype(outb_ref.dtype)
 
     active_mm = (b < nblk) & (b * BE2P < nlive)
     ext_due = (b > 0) & ((b - 1) * BE2P < nlive)
@@ -1814,8 +1814,11 @@ def corr_pyramid_pair2(gmap, fa, fb, coords, kk, jj, mask, n_live, hw,
         functools.partial(kfn, C=C, PP=PP, nblk=nblk,
                           wra=wra, wrb=wrb, wi8=wi8),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((EP, 8, 16 * PP), jnp.float32),
-                   jax.ShapeDtypeStruct((EP, 8, 16 * PP), jnp.float32)],
+        # bf16 out: every value already passed through the bf16 R scratch,
+        # so f32 out only preserved the dequant-scale product's rounding;
+        # bf16 halves the out write + the blend pass's read bandwidth
+        out_shape=[jax.ShapeDtypeStruct((EP, 8, 16 * PP), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((EP, 8, 16 * PP), jnp.bfloat16)],
     )(nlive, padB(slot_g), padB(row0a), padB(row0b), padB(s_a), padB(s_b),
       padB(g), rya, rxa, ryb, rxb, fa, fb)
 

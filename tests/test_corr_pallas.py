@@ -324,7 +324,10 @@ def test_pair_i8_matches_reference(seed, variant):
         got = corr_pallas.corr_pyramid_banded(
             gmap, pyr, coords, kk, jj, mask, n_live=24, hw=(32, 40),
             levels=(1, 2), scales=scales, wins=(16, 12), variant=variant)
-    np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
+    # error budget vs the f32 oracle: i8 ring quantization (dominant, with
+    # cancellation cases near 5e-2 already) + bf16 R scratch + the pair2/
+    # mono kernels' bf16 out surface (one extra product rounding)
+    np.testing.assert_allclose(np.asarray(got), want, atol=0.12, rtol=1e-2)
 
 
 @pytest.mark.parametrize("variant", ["pair", "pair2", "mono", "mono2"])
@@ -348,8 +351,17 @@ def test_pair_matches_split(i8, variant):
             gmap, pyr, coords, kk, jj, mask, variant="split", **kw)
         got = corr_pallas.corr_pyramid_banded(
             gmap, pyr, coords, kk, jj, mask, variant=variant, **kw)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=1e-4, rtol=1e-4)
+    if i8 and variant in ("pair2", "mono", "mono2"):
+        # these variants store a bf16 out surface; on the i8 path the f32
+        # dequant-scale product is re-rounded to bf16 (rel <= 2^-8) while
+        # split keeps f32 out. Taps reach ~50 (bf16 ulp 0.25) and the
+        # bilinear blend cancels, so small outputs need an atol term.
+        # bf16 rings are exact (values pass through the bf16 R scratch
+        # unchanged) and stay bitwise below.
+        tol = dict(atol=0.1, rtol=5e-3)
+    else:
+        tol = dict(atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **tol)
 
 
 @pytest.mark.parametrize("variant", ["pair", "pair2", "mono", "mono2"])
@@ -370,7 +382,8 @@ def test_pair_early_exit_blocks(variant):
         got = corr_pallas.corr_pyramid_banded(
             gmap, pyr, coords, kk, jj, mask, n_live=live, hw=(32, 40),
             levels=(1, 2), scales=scales, wins=(16, 12), variant=variant)
-    np.testing.assert_allclose(np.asarray(got), want, atol=5e-2, rtol=1e-2)
+    # i8 quantization + bf16 out budget (see test_pair_i8_matches_reference)
+    np.testing.assert_allclose(np.asarray(got), want, atol=0.12, rtol=1e-2)
 
 
 @pytest.mark.parametrize("i8", [False, True], ids=["bf16", "i8"])
