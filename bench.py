@@ -89,9 +89,9 @@ def main():
         sys.exit(f"BENCH_WIRE={wire!r}: expected one of i8/f16/f32")
     kern = os.environ.get("BENCH_CORR_KERNEL", "").strip().lower()
     kern = kern or VOConfig.CORR_KERNEL
-    if kern not in ("split", "split2", "pair", "pair2", "mono", "mono2", "g8c"):
+    if kern not in ("split", "split2", "pair", "pair2", "mono", "mono2", "mono3", "g8c"):
         sys.exit(f"BENCH_CORR_KERNEL={kern!r}: expected "
-                 "split/split2/pair/pair2/mono/mono2/g8c")
+                 "split/split2/pair/pair2/mono/mono2/mono3/g8c")
     wr1 = int(os.environ.get("BENCH_CORR_WR1", "0")) or VOConfig.CORR_WIN_L1
     cfg = VOConfig(
         MOTION_PROBE_THRESH=-1.0,

@@ -1714,6 +1714,110 @@ def _kernel_banded_mono(nlive_ref, slot_ref, row0a_ref, row0b_ref,  # prefetch
         jax.lax.fori_loop(0, BE2P // stride, body, 0)
 
 
+BE3 = int(_os.environ.get("DEVO_CORR_BE3", "64"))    # mono3 edge block size
+K3 = int(_os.environ.get("DEVO_CORR_K3", "64"))      # mono3 window-ring slots
+IF3 = int(_os.environ.get("DEVO_CORR_IF3", "48"))    # mono3 DMA issue depth
+
+
+def _kernel_banded_mono3(nlive_ref, slot_ref, row0a_ref, row0b_ref,  # prefetch
+                         sa_ref, sb_ref,            # (EP+BE3,) f32 dequant
+                         g_ref,                     # (BE3, 16, C) block b
+                         rya_ref, rxa_ref, ryb_ref, rxb_ref,  # block b
+                         fa_hbm, fb_hbm,
+                         outa_ref, outb_ref,        # block b (NO lag)
+                         win, rba, rbb, sems,
+                         *, C: int, PP: int, nblk: int, wra: int, wrb: int,
+                         wi8: bool):
+    """mono with a 2-slot rotating PER-EDGE R scratch instead of the
+    per-block double buffer.
+
+    First attempt sliced the dot-result VALUE directly (ry/rx loaded from
+    VMEM = value-derived offsets) — Mosaic has no dynamic_slice lowering
+    for values at all, so the scratch round-trip is forced. This variant
+    keeps mono's same-iteration extraction but shrinks the R scratch from
+    2 x BE x (both levels) (~8.7 MB lane-padded) to 2 edges (~340 KB):
+    the freed VMEM doubles the block size (BE3 = 64, half the per-block
+    overhead) and deepens the window ring (K3/IF3 = 64/48). The e%2
+    rotation keeps iteration e+1's store independent of iteration e's
+    extraction reads in the scoreboard."""
+    b = pl.program_id(0)
+    nlive = nlive_ref[0]
+    qlive = ((nlive + BE3 - 1) // BE3) * BE3
+    WRA, WRB = wra * BWIN, wrb * BWIN
+    TOT = WRA + WRB
+
+    def dma_a(q):
+        if wi8:
+            r0 = pl.multiple_of(row0a_ref[q], 8)
+            return pltpu.make_async_copy(
+                fa_hbm.at[slot_ref[q], pl.ds(r0, WRA)],
+                win.at[q % K3, pl.ds(0, WRA)], sems.at[q % K3])
+        return pltpu.make_async_copy(
+            fa_hbm.at[slot_ref[q], pl.ds(row0a_ref[q], wra)],
+            win.at[q % K3, pl.ds(0, wra)], sems.at[q % K3])
+
+    def dma_b(q):
+        if wi8:
+            r0 = pl.multiple_of(row0b_ref[q], 8)
+            return pltpu.make_async_copy(
+                fb_hbm.at[slot_ref[q], pl.ds(r0, WRB)],
+                win.at[q % K3, pl.ds(WRA, WRB)], sems.at[q % K3])
+        return pltpu.make_async_copy(
+            fb_hbm.at[slot_ref[q], pl.ds(row0b_ref[q], wrb)],
+            win.at[q % K3, pl.ds(wra, wrb)], sems.at[q % K3])
+
+    @pl.when(b * BE3 < nlive)
+    def _run():
+        @pl.when(b == 0)
+        def _prologue():
+            def pro(k, _):
+                @pl.when(k < qlive)
+                def _():
+                    dma_a(k).start()
+                    dma_b(k).start()
+                return 0
+            jax.lax.fori_loop(0, IF3, pro, 0)
+
+        def body(e, _):
+            q = b * BE3 + e
+            dma_a(q).wait()
+            dma_b(q).wait()
+
+            @pl.when(q + IF3 < qlive)
+            def _():
+                dma_a(q + IF3).start()
+                dma_b(q + IF3).start()
+            w = win[q % K3]
+            if wi8:
+                w = w.astype(jnp.bfloat16)
+            else:
+                w = w.reshape(TOT, C)
+            R = jax.lax.dot_general(
+                w, g_ref[e], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            rba[e % 2] = R[0:WRA].reshape(wra, BWIN, 16)
+            rbb[e % 2] = R[WRA:TOT].reshape(wrb, BWIN, 16)
+
+            parts_a, parts_b = [], []
+            for p in range(PP):
+                rxa8 = pl.multiple_of(rxa_ref[e, p] * 8, 8)
+                parts_a.append(rba[e % 2, pl.ds(rya_ref[e, p], 8),
+                                   pl.ds(rxa8, 16), p])
+                rxb8 = pl.multiple_of(rxb_ref[e, p] * 8, 8)
+                parts_b.append(rbb[e % 2, pl.ds(ryb_ref[e, p], 8),
+                                   pl.ds(rxb8, 16), p])
+            sa = jnp.concatenate(parts_a, axis=1)
+            sb = jnp.concatenate(parts_b, axis=1)
+            if wi8:
+                sa = sa * sa_ref[q]
+                sb = sb * sb_ref[q]
+            outa_ref[e] = sa.astype(outa_ref.dtype)
+            outb_ref[e] = sb.astype(outb_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, BE3, body, 0)
+
+
 def corr_pyramid_pair2(gmap, fa, fb, coords, kk, jj, mask, n_live, hw,
                        levels=(1, 4), radius=3, scales=(None, None),
                        wins=None, variant="pair2"):
@@ -1756,7 +1860,8 @@ def corr_pyramid_pair2(gmap, fa, fb, coords, kk, jj, mask, n_live, hw,
     else:
         s_a = s_b = jnp.zeros((E,), jnp.float32)   # unused
 
-    EP = ((E + BE2P - 1) // BE2P) * BE2P
+    BE_ = BE3 if variant == "mono3" else BE2P
+    EP = ((E + BE_ - 1) // BE_) * BE_
     if EP != E:
         padn = EP - E
         pad1 = lambda a: jnp.pad(a, [(0, padn)] + [(0, 0)] * (a.ndim - 1))
@@ -1766,15 +1871,23 @@ def corr_pyramid_pair2(gmap, fa, fb, coords, kk, jj, mask, n_live, hw,
 
     # one extra zero block: the tail grid step's (inactive) phase-A helpers
     # and the scale lookups at block index nblk must stay in range
-    nblk = EP // BE2P
-    padB = lambda a: jnp.pad(a, [(0, BE2P)] + [(0, 0)] * (a.ndim - 1))
+    # (mono3 has no lag/tail step but keeps the pad for its issue-ahead)
+    nblk = EP // BE_
+    padB = lambda a: jnp.pad(a, [(0, BE_)] + [(0, 0)] * (a.ndim - 1))
 
-    win_scr = (
-        (lambda wr: pltpu.VMEM((K2P, wr * BWIN, C), jnp.int8)) if wi8
-        else (lambda wr: pltpu.VMEM((K2P, wr, BWIN, C), jnp.bfloat16)))
+    win_scr_n = (
+        (lambda wr, k: pltpu.VMEM((k, wr * BWIN, C), jnp.int8)) if wi8
+        else (lambda wr, k: pltpu.VMEM((k, wr, BWIN, C), jnp.bfloat16)))
+    win_scr = lambda wr: win_scr_n(wr, K2P)
     rbuf_scr = [pltpu.VMEM((2, BE2P, wra, BWIN, 16), jnp.bfloat16),
                 pltpu.VMEM((2, BE2P, wrb, BWIN, 16), jnp.bfloat16)]
-    if variant in ("mono", "mono2"):
+    if variant == "mono3":
+        scratch = ([win_scr_n(wra + wrb, K3),
+                    pltpu.VMEM((2, wra, BWIN, 16), jnp.float32),
+                    pltpu.VMEM((2, wrb, BWIN, 16), jnp.float32)]
+                   + [pltpu.SemaphoreType.DMA((K3,))])
+        kfn = _kernel_banded_mono3
+    elif variant in ("mono", "mono2"):
         # one stacked window buffer (level a rows first) + one semaphore
         # array (each slot signaled by both levels' copies)
         scratch = ([win_scr(wra + wrb)] + rbuf_scr
@@ -1786,27 +1899,30 @@ def corr_pyramid_pair2(gmap, fa, fb, coords, kk, jj, mask, n_live, hw,
                    + [pltpu.SemaphoreType.DMA((K2P,)),
                       pltpu.SemaphoreType.DMA((K2P,))])
         kfn = _kernel_banded_pair2
-    lag = lambda b, *_: (jnp.maximum(b - 1, 0), 0)
+    if variant == "mono3":
+        lag = lambda b, *_: (b, 0)                    # no pipeline lag
+        oidx = lambda b, *_: (b, 0, 0)
+        grid = (nblk,)
+    else:
+        lag = lambda b, *_: (jnp.maximum(b - 1, 0), 0)
+        oidx = lambda b, *_: (jnp.maximum(b - 1, 0), 0, 0)
+        grid = (nblk + 1,)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(nblk + 1,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((BE2P, 16, C), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((BE_, 16, C), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),    # g (block b)
-            pl.BlockSpec((BE2P, 16), lag, memory_space=pltpu.VMEM),  # rya
-            pl.BlockSpec((BE2P, 16), lag, memory_space=pltpu.VMEM),  # rxa8
-            pl.BlockSpec((BE2P, 16), lag, memory_space=pltpu.VMEM),  # ryb
-            pl.BlockSpec((BE2P, 16), lag, memory_space=pltpu.VMEM),  # rxb8
+            pl.BlockSpec((BE_, 16), lag, memory_space=pltpu.VMEM),  # rya
+            pl.BlockSpec((BE_, 16), lag, memory_space=pltpu.VMEM),  # rxa8
+            pl.BlockSpec((BE_, 16), lag, memory_space=pltpu.VMEM),  # ryb
+            pl.BlockSpec((BE_, 16), lag, memory_space=pltpu.VMEM),  # rxb8
             pl.BlockSpec(memory_space=pl.ANY),        # fa (HBM)
             pl.BlockSpec(memory_space=pl.ANY),        # fb (HBM)
         ],
         out_specs=[
-            pl.BlockSpec((BE2P, 8, 16 * PP),
-                         lambda b, *_: (jnp.maximum(b - 1, 0), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BE2P, 8, 16 * PP),
-                         lambda b, *_: (jnp.maximum(b - 1, 0), 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE_, 8, 16 * PP), oidx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE_, 8, 16 * PP), oidx, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=scratch,
     )
@@ -1851,7 +1967,7 @@ def corr_pyramid_banded(gmap, banded_pyramid, coords, kk, jj, mask, n_live,
         scales = (None,) * len(banded_pyramid)
     if wins is None:
         wins = tuple(level_win_rows(lvl) for lvl in levels)
-    if variant in ("pair", "pair2", "mono", "mono2"):
+    if variant in ("pair", "pair2", "mono", "mono2", "mono3"):
         assert len(banded_pyramid) == 2, "pair kernel is two-level"
         assert all(fb.ndim == (3 if fb.dtype == jnp.int8 else 4)
                    for fb in banded_pyramid), \

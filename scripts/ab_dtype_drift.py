@@ -84,6 +84,13 @@ def main():
     ref_poses, ref_tables = run(base_cfg, frames, intr, params, HT, WD)
 
     variants = {
+        # CONTROL: all-f32 with a one-part-in-1e6 intrinsics perturbation.
+        # The engine is a closed loop (poses -> reprojection -> corr ->
+        # update -> BA -> poses); if an epsilon input perturbation diverges
+        # as much as the dtype toggles, the observed drift is chaotic
+        # AMPLIFICATION of rounding, not a systematic dtype bias — and the
+        # meaningful bound is "within the system's Lyapunov noise floor".
+        "control_eps": dict(),
         "enet_bf16": dict(ENET_BF16=True),
         "mixed_precision": dict(MIXED_PRECISION=True),
         "shipping_both": dict(ENET_BF16=True, MIXED_PRECISION=True),
@@ -91,7 +98,8 @@ def main():
     results = {}
     for name, kw in variants.items():
         print(f"running {name}", flush=True)
-        poses, tables = run(base_cfg.replace(**kw), frames, intr,
+        intr_v = intr * (1 + 1e-6) if name == "control_eps" else intr
+        poses, tables = run(base_cfg.replace(**kw), frames, intr_v,
                             params, HT, WD)
         # divergence is only numeric drift while the discrete decisions
         # (patch tables) still match; find that prefix
