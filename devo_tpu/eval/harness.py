@@ -22,7 +22,7 @@ from devo_tpu.runtime.engine import DEVO
 from .ate import TrajectoryMetrics, ate_real, compute_median_results
 
 
-def _pipelined_uploads(slam, iterator, batch: int = 8, qsize: int = 24):
+def _pipelined_uploads(slam, iterator, batch: int = 16, qsize: int = 64):
     """Overlap host->device voxel transfer with tracking: a background
     thread drains the (CPU-side) iterator and uploads frames in stacked
     batches (engine.upload_batch — each single upload pays a flat ~31 ms

@@ -64,6 +64,46 @@ def main():
     print(f"warm run done in {time.time() - t0:.0f}s", file=sys.stderr,
           flush=True)
 
+    if os.environ.get("EVAL_PATH_INSTRUMENT"):
+        # phase attribution: replicate run_voxel's loop with timers around
+        # the upload-queue wait, the slam dispatch, and the final updates
+        from devo_tpu.eval.harness import _pipelined_uploads
+        slam = cache[next(iter(cache))]
+        slam.reset(seed=0, params=params)
+        it = iter(stream(n_frames))
+        v0, i0, t0s = next(it)
+        t0 = time.perf_counter()
+        slam(t0s, np.transpose(v0, (1, 2, 0)), i0)
+        t_get = t_call = 0.0
+        n = 1
+        gen = _pipelined_uploads(slam, it)
+        while True:
+            g0 = time.perf_counter()
+            try:
+                uv, intr_f, ts = next(gen)
+            except StopIteration:
+                break
+            g1 = time.perf_counter()
+            slam(ts, uv, intr_f)
+            g2 = time.perf_counter()
+            t_get += g1 - g0
+            t_call += g2 - g1
+            n += 1
+        f0 = time.perf_counter()
+        for _ in range(12):
+            slam.update()
+        import jax as _jax
+        _jax.block_until_ready(slam.state.poses)
+        f1 = time.perf_counter()
+        tot = f1 - t0
+        print(json.dumps({
+            "metric": "eval_path_phase_ms_per_frame", "n_frames": n,
+            "total_s": round(tot, 2), "fps": round(n / tot, 2),
+            "queue_wait_ms": round(t_get / n * 1e3, 2),
+            "dispatch_ms": round(t_call / n * 1e3, 2),
+            "final_updates_s": round(f1 - f0, 2)}))
+        return
+
     poses, tss, fps = run_voxel(cfg, params, stream(n_frames), HT, WD,
                                 seed=0, final_updates=12,
                                 engine_cache=cache, timing=True)
