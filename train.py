@@ -43,15 +43,17 @@ def _proc_worker(dataset, batch_size, seed, wid, q):
 
 
 def data_loader(dataset, batch_size: int, seed: int, workers: int = 4,
-                qsize: int = 4, method: str = "process"):
+                qsize: int = 4, method: str = "thread"):
     """Background batch producer (counterpart of DataLoader(num_workers=4),
     /root/reference/train.py:93-95).
 
-    method="process" (default): worker PROCESSES via the spawn context —
-    the TartanAir path is h5-decode heavy and Python threads are GIL-bound
-    on it (measured: see PERF_NOTES "loader throughput"). method="thread"
-    keeps the light in-process variant for tiny smoke runs/tests where
-    spawning interpreters costs more than it saves."""
+    method="thread" (default): measured 2x the process mode's throughput
+    on the full-res TartanAir fixture (2.5 vs 1.2 voxel-frames/s at 4
+    workers, scripts/bench_loader.py; PERF_NOTES r04 "loader
+    throughput") — the hot path (h5 decode + numpy bilinear augment)
+    releases the GIL, while process mode pays ~92 MB/batch of
+    multiprocessing.Queue pickling. method="process" remains for
+    datasets whose per-item work is Python-bound.
     if method == "process":
         import multiprocessing as mp
 
@@ -85,7 +87,7 @@ def main():
     p.add_argument("--datapath", required=True)
     p.add_argument("--ckpt_dir", default="checkpoints")
     p.add_argument("--checkpoint", default=None, help="resume path")
-    p.add_argument("--loader", default="process",
+    p.add_argument("--loader", default="thread",
                    choices=["process", "thread"],
                    help="batch-loader workers: processes (h5 decode is "
                         "GIL-bound in threads) or threads (tiny smoke runs)")
