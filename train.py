@@ -53,7 +53,7 @@ def data_loader(dataset, batch_size: int, seed: int, workers: int = 4,
     throughput") — the hot path (h5 decode + numpy bilinear augment)
     releases the GIL, while process mode pays ~92 MB/batch of
     multiprocessing.Queue pickling. method="process" remains for
-    datasets whose per-item work is Python-bound.
+    datasets whose per-item work is Python-bound."""
     if method == "process":
         import multiprocessing as mp
 
