@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from . import so3
 from .quaternion import qconj, qmul, qnormalize, qrot
 
-__all__ = ["exp", "log", "inv", "mul", "act", "matrix", "identity", "retr", "adj", "adjT"]
+__all__ = ["exp", "log", "inv", "mul", "act", "matrix", "identity", "retr", "adj", "adjT", "act4"]
 
 
 def identity(shape=(), dtype=jnp.float32) -> jnp.ndarray:
@@ -44,6 +44,12 @@ def mul(g1: jnp.ndarray, g2: jnp.ndarray) -> jnp.ndarray:
 def act(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     q, s = g[..., :4], g[..., 4:5]
     return s * qrot(q, p)
+
+
+def act4(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Action on a homogeneous 4-vector: sR on xyz, w unchanged
+    (include/rxso3.h:65-68)."""
+    return jnp.concatenate([act(g, p[..., :3]), p[..., 3:4]], axis=-1)
 
 
 def matrix(g: jnp.ndarray) -> jnp.ndarray:

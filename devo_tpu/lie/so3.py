@@ -17,7 +17,7 @@ from .quaternion import EPS, qconj, qmul, qnormalize, qrot, quat_to_matrix, matr
 
 __all__ = [
     "exp", "log", "inv", "mul", "act", "matrix", "from_matrix", "identity",
-    "adj", "adjT", "hat", "left_jacobian", "left_jacobian_inverse", "retr",
+    "adj", "adjT", "act4", "hat", "left_jacobian", "left_jacobian_inverse", "retr",
 ]
 
 
@@ -94,6 +94,12 @@ def matrix(q: jnp.ndarray) -> jnp.ndarray:
 
 def from_matrix(R: jnp.ndarray) -> jnp.ndarray:
     return matrix_to_quat(R)
+
+
+def act4(q: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Action on a homogeneous 4-vector: rotate xyz, keep w
+    (include/so3.h:62-65)."""
+    return jnp.concatenate([qrot(q, p[..., :3]), p[..., 3:4]], axis=-1)
 
 
 def adj(q: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:

@@ -38,6 +38,10 @@ class Patchifier(nn.Module):
                                    # network (nets/fused_encoder.py): exact,
                                    # halves the lane-padded stage-1 traffic
                                    # on TPU. Params/init are unchanged.
+    scorer_s2d: bool = False       # evaluate the scorer in space-to-depth
+                                   # layout (nets/scorer_s2d.py): exact,
+                                   # removes the 128-lane padding of the
+                                   # full-res 8/16/32-channel intermediates.
 
     def setup(self):
         self.fnet = BasicEncoder4Evs(output_dim=self.dim_fnet, dim=self.dim,
@@ -76,7 +80,13 @@ class Patchifier(nn.Module):
 
         scores_sel = None
         if self.patch_selector == "scorer":
-            raw = self.scorer(voxels)           # (n, h2, w2)
+            if self.scorer_s2d and not self.is_initializing():
+                from .scorer_s2d import scorer_s2d_forward
+                raw = scorer_s2d_forward(
+                    self.variables["params"]["scorer"], voxels,
+                    dtype=self.dtype)          # (n, h2, w2)
+            else:
+                raw = self.scorer(voxels)      # (n, h2, w2)
             scores = jax.nn.sigmoid(raw)
             if training:
                 x, y, scores_sel = sel.select_training_scorer(
@@ -96,6 +106,28 @@ class Patchifier(nn.Module):
                 scores_sel = sel.gather_scores(scores, x, y)
                 x = x + 1
                 y = y + 1
+        elif self.patch_selector == "gradient":
+            # bias selection toward high event-gradient regions
+            # (enet.py:130-141): the pooled finite-difference magnitude maps
+            # replaces the learned score map; training uses 3x-random
+            # (enet.py:135-137), eval the configured sampler; coords are
+            # CLAMPED into [1, w-2] x [1, h-2] instead of +1-shifted
+            g = sel.event_gradient(voxels)              # (n, gh, gw)
+            if training:
+                x, y = sel.select_3xrandom(key, g, patches_per_image)
+            elif scorer_eval_mode == "multi":
+                x, y = sel.select_multi(key, g, patches_per_image,
+                                        use_grid=scorer_eval_use_grid)
+            elif scorer_eval_mode == "topk":
+                x, y = sel.select_topk(g, patches_per_image,
+                                       use_grid=scorer_eval_use_grid)
+            elif scorer_eval_mode == "nms":
+                x, y = sel.select_nms(g, patches_per_image,
+                                      use_grid=scorer_eval_use_grid)
+            else:
+                raise NotImplementedError(scorer_eval_mode)
+            x = jnp.clip(x, 1, w - 2)
+            y = jnp.clip(y, 1, h - 2)
         elif self.patch_selector == "random":
             x, y = sel.select_random(key, n, h, w, patches_per_image)
         else:
@@ -136,13 +168,14 @@ class EVONet(nn.Module):
     dtype: jnp.dtype = jnp.float32   # bf16 under mixed precision (devo.py:71-74)
     bins: int = 5                    # 5 voxel bins; 3 for RGB frames (VONet)
     fused_encoders: bool = False     # see Patchifier.fused_encoders
+    scorer_s2d: bool = False         # see Patchifier.scorer_s2d
 
     def setup(self):
         self.patchify = Patchifier(
             patch_size=self.P, dim_inet=self.dim_inet, dim_fnet=self.dim_fnet,
             dim=self.dim, patch_selector=self.patch_selector, name="patchify",
             dtype=self.dtype, bins=self.bins,
-            fused_encoders=self.fused_encoders)
+            fused_encoders=self.fused_encoders, scorer_s2d=self.scorer_s2d)
         self.update = Update(dim=self.dim_inet,
                              corr_dim=2 * 49 * self.P * self.P, name="update",
                              dtype=self.dtype)

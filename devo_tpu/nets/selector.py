@@ -201,6 +201,39 @@ def select_random(key, n: int, h: int, w: int, ppi: int):
     return x, y
 
 
+def event_gradient(voxels: jnp.ndarray) -> jnp.ndarray:
+    """Event-gradient selection map (enet.py:115-121, `__event_gradient`):
+    sum the voxel bins, finite-difference gradient magnitude, 4x4 average
+    pool (torch avg_pool2d floor semantics: trailing rows/cols dropped).
+
+    voxels (n, H, W, bins) -> (n, (H-1)//4, (W-1)//4).
+    """
+    im = voxels.sum(-1)                                   # (n, H, W)
+    dx = im[:, :-1, 1:] - im[:, :-1, :-1]
+    dy = im[:, 1:, :-1] - im[:, :-1, :-1]
+    g = jnp.sqrt(dx * dx + dy * dy)                       # (n, H-1, W-1)
+    n, gh, gw = g.shape
+    h4, w4 = gh // 4, gw // 4
+    g = g[:, :h4 * 4, :w4 * 4].reshape(n, h4, 4, w4, 4).mean((2, 4))
+    return g
+
+
+def select_3xrandom(key, weights: jnp.ndarray, ppi: int):
+    """PatchSelector('3xrandom') (selector.py:92-105): 3*ppi uniform
+    candidates over the FULL map, keep the ppi with the largest weights,
+    +1 shift on the returned coords. Used by the GRADIENT selector in
+    training (enet.py:135-137)."""
+    n, h, w = weights.shape
+    kx, ky = jax.random.split(key)
+    x = jax.random.randint(kx, (n, 3 * ppi), 0, w)
+    y = jax.random.randint(ky, (n, 3 * ppi), 0, h)
+    sc = gather_scores(weights, x, y)
+    _, order = jax.lax.top_k(sc, ppi)
+    x_sel = jnp.take_along_axis(x, order, 1) + 1
+    y_sel = jnp.take_along_axis(y, order, 1) + 1
+    return x_sel, y_sel
+
+
 def gather_scores(scores: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
     """Score values at integer coords (altcorr.patchify radius 0 on the score
     map, enet.py:157/169)."""

@@ -223,3 +223,66 @@ def corr_pyramid(
         for fmap_l, lvl in zip(pyramid, levels)
     ]
     return jnp.stack(outs, axis=-1).reshape(E, -1)
+
+
+# ------------------------------------------------- training backward dropout
+
+def _pyramid_fwd_only(gmap, pyramid, coords, kk, jj, radius, levels):
+    """corr_pyramid with the feature-map path differentiable and the coord
+    path severed — the reference's CUDA backward computes fmap1/fmap2 grads
+    only and returns None for coords (correlation.py:27-30)."""
+    return corr_pyramid(gmap, tuple(pyramid), jax.lax.stop_gradient(coords),
+                        kk, jj, radius=radius, levels=levels)
+
+
+def corr_pyramid_train(
+    gmap: jnp.ndarray,
+    pyramid,
+    coords: jnp.ndarray,
+    kk: jnp.ndarray,
+    jj: jnp.ndarray,
+    key: jax.Array,
+    dropout: float = 0.2,
+    radius: int = 3,
+    levels=(1, 4),
+) -> jnp.ndarray:
+    """corr_pyramid with the reference's training backward semantics
+    (/root/reference/devo/altcorr/correlation.py:18-30, wired with
+    dropout=0.2 at enet.py:204):
+
+      * the backward pass keeps a Bernoulli(dropout) subset of EDGES —
+        dropped edges contribute NO gradient to gmap or the pyramid
+        (no 1/p rescale: the expected gradient is dropout * full);
+      * coords receive no gradient through the correlation (the CUDA
+        backward returns None for them);
+      * the forward value is exactly corr_pyramid's.
+
+    `key` makes the edge subset explicit (the reference draws from the
+    global CUDA RNG); dropout >= 1 disables the subsetting but keeps the
+    severed coord path.
+    """
+    if dropout is None or dropout >= 1.0:
+        return _pyramid_fwd_only(gmap, pyramid, coords, kk, jj, radius, levels)
+
+    pyramid = tuple(pyramid)
+
+    @jax.custom_vjp
+    def _corr(gmap, pyramid, coords):
+        return _pyramid_fwd_only(gmap, pyramid, coords, kk, jj, radius, levels)
+
+    def _fwd(gmap, pyramid, coords):
+        return _corr(gmap, pyramid, coords), (gmap, pyramid, coords)
+
+    def _bwd(res, ct):
+        gmap_r, pyramid_r, coords_r = res
+        keep = jax.random.uniform(key, (kk.shape[0],)) < dropout
+        ct = jnp.where(keep[:, None], ct, 0.0)
+        _, vjp = jax.vjp(
+            lambda g, p: _pyramid_fwd_only(g, p, coords_r, kk, jj,
+                                           radius, levels),
+            gmap_r, pyramid_r)
+        d_gmap, d_pyr = vjp(ct)
+        return d_gmap, d_pyr, jnp.zeros_like(coords_r)
+
+    _corr.defvjp(_fwd, _bwd)
+    return _corr(gmap, pyramid, coords)

@@ -136,6 +136,12 @@ class VOConfig:
                                          #   diagonal network (exact; halves
                                          #   the lane-padded stage-1 conv
                                          #   traffic — nets/fused_encoder.py)
+    SCORER_S2D: bool = True              # evaluate the scorer in space-to-
+                                         #   depth(4) layout (exact; fills
+                                         #   the 128 lanes every stage
+                                         #   instead of padding 8/16/32
+                                         #   channels — nets/scorer_s2d.py;
+                                         #   engine A/B in PERF_NOTES r05)
     CORR_RING_I8: bool = True            # store the banded corr feature
                                          #   rings as per-frame-scaled int8
                                          #   (halves the kernel's window-DMA
@@ -212,7 +218,11 @@ class VOConfig:
 # ride on the bench's int8 quantization (i8 stays the default for raw
 # VOConfig/bench runs, where wire bytes gate frame rate).
 DEFAULT_EVS = VOConfig()
-_EVAL_BASE = DEFAULT_EVS.replace(VOXEL_WIRE="f16", CORR_RING_I8=False)
+# CORR_WIN_L1=16: eval runs keep the full level-1 window (no tap clipping
+# beyond the reference's own 8-px spread budget) until the MIGRATION.md
+# step-3c A/B proves the bench's 12-row trim ATE-neutral (ADVICE r04).
+_EVAL_BASE = DEFAULT_EVS.replace(VOXEL_WIRE="f16", CORR_RING_I8=False,
+                                 CORR_WIN_L1=16)
 EVAL_CONFIGS = {
     "default": _EVAL_BASE,                                   # KEYFRAME_THRESH 15
     "eds": _EVAL_BASE.replace(KEYFRAME_THRESH=25.0),

@@ -915,7 +915,8 @@ class DEVO:
         self.net = EVONet(P=cfg.P, dim_inet=cfg.DIM_INET, dim_fnet=cfg.DIM_FNET,
                           dim=cfg.DIM, patch_selector=cfg.PATCH_SELECTOR,
                           dtype=jnp.bfloat16 if cfg.MIXED_PRECISION else jnp.float32,
-                          bins=cfg.BINS, fused_encoders=cfg.FUSED_ENCODERS)
+                          bins=cfg.BINS, fused_encoders=cfg.FUSED_ENCODERS,
+                          scorer_s2d=cfg.SCORER_S2D)
         self.params = params
         # Bucketed edge capacity: the worst-case bound (EDGE_CAP) is ~2-10x
         # the live edge count of typical sequences, and every per-edge op

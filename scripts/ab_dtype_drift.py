@@ -13,6 +13,15 @@ a tiny score perturbation is a different-sample event, not numeric drift —
 divergence is only meaningful over the matching prefix, which the report
 separates).
 
+SCOPE CAVEAT (ADVICE r04): the variants below toggle ENET_BF16 and
+MIXED_PRECISION only. The CPU A/B runs CORR_IMPL="window", which
+structurally has no int8 rings — CORR_RING_I8, arguably the largest dtype
+change, is NOT bounded by this artifact. Its trajectory-level bound comes
+indirectly from the engine-banded oracle test (tests/test_engine_banded.py
+runs the i8 banded kernel in interpret mode against the exact-window
+engine and asserts the pose atol) and, on real data, from the
+MIGRATION.md step-3b CORR_RING_I8 eval row.
+
 Output: one JSON line per config pair -> /tmp/ab_dtype_drift.json and a
 summary table on stdout. The measured bound feeds
 tests/test_engine_banded.py's pose atol and MIGRATION.md's ATE-neutrality

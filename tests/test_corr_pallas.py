@@ -325,9 +325,12 @@ def test_pair_i8_matches_reference(seed, variant):
             gmap, pyr, coords, kk, jj, mask, n_live=24, hw=(32, 40),
             levels=(1, 2), scales=scales, wins=(16, 12), variant=variant)
     # error budget vs the f32 oracle: i8 ring quantization (dominant, with
-    # cancellation cases near 5e-2 already) + bf16 R scratch + the pair2/
-    # mono kernels' bf16 out surface (one extra product rounding)
-    np.testing.assert_allclose(np.asarray(got), want, atol=0.12, rtol=1e-2)
+    # cancellation cases near 5e-2 already) for the f32-out 'pair' variant;
+    # the bf16-out variants (pair2/mono/mono2/mono3) add one product
+    # rounding on the out surface (ADVICE r04: keep the pre-existing 5e-2
+    # regression bound for the variant whose numerics did not change)
+    atol = 5e-2 if variant == "pair" else 0.12
+    np.testing.assert_allclose(np.asarray(got), want, atol=atol, rtol=1e-2)
 
 
 @pytest.mark.parametrize("variant", ["pair", "pair2", "mono", "mono2", "mono3"])
@@ -383,7 +386,8 @@ def test_pair_early_exit_blocks(variant):
             gmap, pyr, coords, kk, jj, mask, n_live=live, hw=(32, 40),
             levels=(1, 2), scales=scales, wins=(16, 12), variant=variant)
     # i8 quantization + bf16 out budget (see test_pair_i8_matches_reference)
-    np.testing.assert_allclose(np.asarray(got), want, atol=0.12, rtol=1e-2)
+    atol = 5e-2 if variant == "pair" else 0.12
+    np.testing.assert_allclose(np.asarray(got), want, atol=atol, rtol=1e-2)
 
 
 @pytest.mark.parametrize("i8", [False, True], ids=["bf16", "i8"])

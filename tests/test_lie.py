@@ -174,6 +174,37 @@ def test_se3_mul_act_gradcheck():
     check_grads(se3.act, (X, p), order=1, modes=["rev"], atol=1e-2, rtol=1e-2)
 
 
+@pytest.mark.parametrize("name", GROUPS)
+def test_inv_gradcheck(name):
+    # reference gradcheck suite covers inv (run_tests.py:78-95)
+    g, dim, _ = GROUPS[name]
+    rng = np.random.default_rng(14)
+    X = g.exp(random_tangent(rng, dim, batch=4, scale=0.5))
+    check_grads(g.inv, (X,), order=1, modes=["rev"], atol=1e-2, rtol=1e-2)
+
+
+@pytest.mark.parametrize("name", GROUPS)
+def test_adj_adjT_gradcheck(name):
+    # reference gradcheck suite covers adj/adjT (run_tests.py:97-130):
+    # gradients w.r.t. BOTH the group element and the tangent argument
+    g, dim, _ = GROUPS[name]
+    rng = np.random.default_rng(15)
+    X = g.exp(random_tangent(rng, dim, batch=4, scale=0.5))
+    a = random_tangent(rng, dim, batch=4, scale=0.5)
+    check_grads(g.adj, (X, a), order=1, modes=["rev"], atol=1e-2, rtol=1e-2)
+    check_grads(g.adjT, (X, a), order=1, modes=["rev"], atol=1e-2, rtol=1e-2)
+
+
+@pytest.mark.parametrize("name", ["se3", "sim3"])
+def test_act4_gradcheck(name):
+    # reference gradcheck suite covers act4 (run_tests.py:132-148)
+    g, dim, _ = GROUPS[name]
+    rng = np.random.default_rng(16)
+    X = g.exp(random_tangent(rng, dim, batch=4, scale=0.5))
+    p = jnp.asarray(rng.standard_normal((4, 4)), jnp.float32)
+    check_grads(g.act4, (X, p), order=1, modes=["rev"], atol=1e-2, rtol=1e-2)
+
+
 def test_se3_exp_matches_reference_closed_form():
     """Cross-check Exp against the independent closed form used by the fastba
     CUDA kernels (ba_cuda.cu::expSE3: t = tau + a phi x tau + b phi x (phi x tau))."""

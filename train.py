@@ -89,8 +89,13 @@ def main():
     p.add_argument("--checkpoint", default=None, help="resume path")
     p.add_argument("--loader", default="thread",
                    choices=["process", "thread"],
-                   help="batch-loader workers: processes (h5 decode is "
-                        "GIL-bound in threads) or threads (tiny smoke runs)")
+                   help="batch-loader workers. thread (default): measured "
+                        "2x process throughput — the hot path (h5 f16 "
+                        "decode + numpy bilinear augment) releases the GIL "
+                        "while process mode pays ~92 MB/batch of queue "
+                        "pickling (scripts/bench_loader.py, PERF_NOTES "
+                        "r04). process remains for datasets whose per-item "
+                        "work is Python-bound.")
     p.add_argument("--loader_workers", type=int, default=4)
     p.add_argument("--warmstart", default=None,
                    help="torch .pth to warm-start from (e.g. RGB-pretrained "
