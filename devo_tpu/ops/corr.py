@@ -265,24 +265,30 @@ def corr_pyramid_train(
         return _pyramid_fwd_only(gmap, pyramid, coords, kk, jj, radius, levels)
 
     pyramid = tuple(pyramid)
+    # the Bernoulli subset is drawn in the FORWARD and threaded through the
+    # custom_vjp as a float 0/1 primal (a key closed over in the bwd
+    # closure would leak a BatchTracer under vmap-of-grad — the per-sample
+    # training path)
+    keep = (jax.random.uniform(key, (kk.shape[0],)) < dropout
+            ).astype(coords.dtype)
 
     @jax.custom_vjp
-    def _corr(gmap, pyramid, coords):
+    def _corr(gmap, pyramid, coords, keep):
         return _pyramid_fwd_only(gmap, pyramid, coords, kk, jj, radius, levels)
 
-    def _fwd(gmap, pyramid, coords):
-        return _corr(gmap, pyramid, coords), (gmap, pyramid, coords)
+    def _fwd(gmap, pyramid, coords, keep):
+        return _corr(gmap, pyramid, coords, keep), (gmap, pyramid, coords,
+                                                    keep)
 
     def _bwd(res, ct):
-        gmap_r, pyramid_r, coords_r = res
-        keep = jax.random.uniform(key, (kk.shape[0],)) < dropout
-        ct = jnp.where(keep[:, None], ct, 0.0)
+        gmap_r, pyramid_r, coords_r, keep_r = res
+        ct = ct * keep_r[:, None]
         _, vjp = jax.vjp(
             lambda g, p: _pyramid_fwd_only(g, p, coords_r, kk, jj,
                                            radius, levels),
             gmap_r, pyramid_r)
         d_gmap, d_pyr = vjp(ct)
-        return d_gmap, d_pyr, jnp.zeros_like(coords_r)
+        return d_gmap, d_pyr, jnp.zeros_like(coords_r), jnp.zeros_like(keep_r)
 
     _corr.defvjp(_fwd, _bwd)
-    return _corr(gmap, pyramid, coords)
+    return _corr(gmap, pyramid, coords, keep)

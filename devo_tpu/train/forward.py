@@ -10,8 +10,13 @@ of dropping the edges of frame n-4 (enet.py:331-336).
 TPU design: the edge schedule is deterministic given (n_frames, ppi, STEPS),
 so each step's edge arrays are precomputed host-side with static shapes; the
 random edge drop becomes a mask. Per-step detach (enet.py:315-316) maps to
-stop_gradient; each step is wrapped in jax.checkpoint so the 18-step graph
-fits memory (the reference relies on torch's implicit per-iter graph).
+stop_gradient. With remat=True (default) the heavy per-step chain
+(reproject -> corr -> update -> BA) is wrapped in jax.checkpoint, so the
+backward pass stores only each step's (Gs, patches, net_state) boundary
+values and recomputes the step activations — the measured full-scale
+memory envelope is in PERF_NOTES (r05). The correlation backward drops a
+random 1 - corr_dropout fraction of edges, matching the reference's
+training recipe (correlation.py:18-30, enet.py:204; corr_pyramid_train).
 """
 from __future__ import annotations
 
@@ -88,6 +93,8 @@ def evonet_forward(
     norm: str = "std2",
     randaug: bool = False,
     grow_after: int = 8,
+    corr_dropout: float = 0.2,
+    remat: bool = True,
 ) -> List[Dict[str, Any]]:
     n_frames, H, W, _ = voxels.shape
     P = net.P
@@ -174,32 +181,48 @@ def evonet_forward(
         else:
             emask = jnp.asarray(emask_np)
 
-        coords = pops.transform(Gs, patches, intr_all, ii, jj, kk)
-        corr_feat = corr_ops.corr_pyramid(
-            gmap_flat, pyramid, coords, kk, jj, radius=3, levels=(1, 4))
-
         ixn, jxn = graph_ops.neighbors(kk, jj, emask)
         ij_seg_np = es.ii.astype(np.int64) * n_frames + es.jj
         _, ij_seg = np.unique(ij_seg_np, return_inverse=True)
         nseg_ij = int(ij_seg.max()) + 1
-
-        net_state, delta, weight = net.apply(
-            {"params": params}, net_state, imap_flat[kk], corr_feat,
-            ixn, jxn, kk, patches.shape[0], jnp.asarray(ij_seg, jnp.int32),
-            nseg_ij, emask, method=EVONet.run_update)
-
-        target = coords[:, P // 2, P // 2, :] + delta
-        weight_m = jnp.where(emask[:, None], weight, 0.0)
-
         n_act = es.n_active_frames
-        for _ in range(2):
-            Gs, patches = ba_ops.gauss_newton_step(
-                Gs, patches, intr_all, target, weight_m, jnp.float32(1e-4),
-                ii, jj, kk, emask, t0=jnp.int32(1), t1=jnp.int32(n_act),
-                kbase=jnp.int32(0), window=n_frames - 1,
-                patch_slots=patches.shape[0], bounds=bounds,
-                max_residual=250.0, ep=10.0, lm=1e-4,
-                structure_only=structure_only, depth_clamp="training")[:2]
+        k_corr = jax.random.fold_in(k_drop, 1000 + s)
+
+        def one_step(Gs, patches, net_state, emask,
+                     ii=ii, jj=jj, kk=kk, ixn=ixn, jxn=jxn,
+                     ij_seg=jnp.asarray(ij_seg, jnp.int32),
+                     nseg_ij=nseg_ij, n_act=n_act, k_corr=k_corr):
+            coords = pops.transform(Gs, patches, intr_all, ii, jj, kk)
+            corr_feat = corr_ops.corr_pyramid_train(
+                gmap_flat, pyramid, coords, kk, jj, k_corr,
+                dropout=corr_dropout, radius=3, levels=(1, 4))
+
+            net_state2, delta, weight = net.apply(
+                {"params": params}, net_state, imap_flat[kk], corr_feat,
+                ixn, jxn, kk, patches.shape[0], ij_seg,
+                nseg_ij, emask, method=EVONet.run_update)
+
+            target = coords[:, P // 2, P // 2, :] + delta
+            weight_m = jnp.where(emask[:, None], weight, 0.0)
+
+            for _ in range(2):
+                Gs, patches = ba_ops.gauss_newton_step(
+                    Gs, patches, intr_all, target, weight_m,
+                    jnp.float32(1e-4),
+                    ii, jj, kk, emask, t0=jnp.int32(1), t1=jnp.int32(n_act),
+                    kbase=jnp.int32(0), window=n_frames - 1,
+                    patch_slots=patches.shape[0], bounds=bounds,
+                    max_residual=250.0, ep=10.0, lm=1e-4,
+                    structure_only=structure_only,
+                    depth_clamp="training")[:2]
+            return Gs, patches, net_state2, weight
+
+        if remat:
+            # store only the step-boundary values; recompute the step's
+            # activations (corr taps, update MLP, BA factors) in backward
+            one_step = jax.checkpoint(one_step)
+        Gs, patches, net_state, weight = one_step(Gs, patches, net_state,
+                                                  emask)
 
         coords_est = pops.transform(Gs, patches, intr_all, ii, jj, kk)
         coords_gt, valid_gt = pops.transform(poses_gt, patches_gt, intr_all,

@@ -59,6 +59,9 @@ class Trainer:
         mesh: Optional[Mesh] = None,
         randaug: bool = False,
         grow_after: int = 8,
+        corr_dropout: float = 0.2,   # backward keeps this edge fraction
+                                     # (reference enet.py:204)
+        remat: bool = True,          # jax.checkpoint each unrolled step
     ):
         self.net = net or EVONet()
         self.tx, self.sched = make_optimizer(lr, total_steps)
@@ -66,6 +69,8 @@ class Trainer:
         self.ppi = ppi
         self.randaug = randaug
         self.grow_after = grow_after
+        self.corr_dropout = corr_dropout
+        self.remat = remat
         self.weights = dict(pose_weight=pose_weight, flow_weight=flow_weight,
                             scores_weight=scores_weight)
         if mesh is None:
@@ -88,10 +93,15 @@ class Trainer:
                 self.net, params, voxels, poses, disps, intr, k,
                 steps=self.steps_unrolled, ppi=self.ppi,
                 structure_only=structure_only, randaug=self.randaug,
-                grow_after=self.grow_after)
+                grow_after=self.grow_after,
+                corr_dropout=self.corr_dropout, remat=self.remat)
             out = total_loss(traj, P=self.net.P,
-                             structure_only=structure_only, **{
-                                 k2: v for k2, v in self.weights.items()})
+                             structure_only=structure_only,
+                             # gradient/random selectors emit no score maps
+                             # (reference trains the scorer loss only under
+                             # SelectionMethod.SCORER, enet.py:193-195)
+                             use_scorer=self.net.patch_selector == "scorer",
+                             **{k2: v for k2, v in self.weights.items()})
             return out
 
         B = batch["voxels"].shape[0]
