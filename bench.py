@@ -69,7 +69,7 @@ def main():
     # count plateaus (ADVICE r03: window 1 otherwise starts below steady
     # load — 7776 vs 9600 live edges — and flatters the overall number),
     # bounded by N_POST_MAX so a pathological config still terminates.
-    N_WARM, N_POST, N_POST_MAX, N_BENCH = 48, 8, 72, 112
+    N_WARM, N_POST, N_POST_MAX, N_BENCH = 48, 8, 72, 168
 
     # the motion-probe gate is a learned behavior (devo.py:531-534); with
     # random weights it rejects every frame and the bench would measure the
@@ -89,9 +89,9 @@ def main():
         sys.exit(f"BENCH_WIRE={wire!r}: expected one of i8/f16/f32")
     kern = os.environ.get("BENCH_CORR_KERNEL", "").strip().lower()
     kern = kern or VOConfig.CORR_KERNEL
-    if kern not in ("split", "split2", "pair", "pair2", "mono", "mono2", "mono3", "g8c"):
+    if kern not in ("split", "split2", "pair", "pair2", "mono", "mono2", "mono3", "mono4", "g8c"):
         sys.exit(f"BENCH_CORR_KERNEL={kern!r}: expected "
-                 "split/split2/pair/pair2/mono/mono2/mono3/g8c")
+                 "split/split2/pair/pair2/mono/mono2/mono3/mono4/g8c")
     wr1 = int(os.environ.get("BENCH_CORR_WR1", "0")) or VOConfig.CORR_WIN_L1
     # Workload + de-lottery (VERDICT r04 item 3). Under random weights the
     # synthetic stream's flow magnitude is always below KEYFRAME_THRESH, so
@@ -117,6 +117,8 @@ def main():
         os.environ["DEVO_FORCE_BUCKET"] = "12288"
     s2d = os.environ.get("BENCH_SCORER_S2D", "").strip().lower()
     s2d = VOConfig.SCORER_S2D if s2d == "" else s2d in ("1", "true", "yes")
+    es2d = os.environ.get("BENCH_ENCODER_S2D", "").strip().lower()
+    es2d = VOConfig.ENCODER_S2D if es2d == "" else es2d in ("1", "true", "yes")
     cfg = VOConfig(
         MOTION_PROBE_THRESH=-1.0,
         KEYFRAME_THRESH=kf_thresh,
@@ -125,6 +127,7 @@ def main():
         CORR_KERNEL=kern,
         CORR_WIN_L1=wr1,
         SCORER_S2D=s2d,
+        ENCODER_S2D=es2d,
     )
     net = EVONet(P=cfg.P, dim_inet=cfg.DIM_INET, dim_fnet=cfg.DIM_FNET,
                  dim=cfg.DIM, patch_selector=cfg.PATCH_SELECTOR)
@@ -232,7 +235,12 @@ def main():
     # (cold tunnel, host contention, bucket transitions — the round-1
     # driver measured 28.55 where the builder measured 38.15, see
     # PERF_NOTES.md "Measurement rules")
-    WINDOWS = 4
+    # 6 windows: the live-edge cull cycle spans ~3 windows; a 4-window run
+    # whose last window catches the 11616-edge peak reads ~0.6 FPS lower
+    # than one that doesn't (r05: 56.94 vs 56.36 at identical configs).
+    # More windows average over the cycle and the median 'steady' number
+    # sits mid-cycle.
+    WINDOWS = 6
     per = N_BENCH // WINDOWS  # 28 frames/window
     win_fps, win_qwait, win_caps, win_live, win_disp = [], [], [], [], []
     t_all0 = time.perf_counter()
@@ -283,6 +291,7 @@ def main():
         "config": {"ring_i8": ring_i8, "wire": wire, "corr_kernel": kern,
                    "keyframe_thresh": kf_thresh,
                    "scorer_s2d": s2d,
+                   "encoder_s2d": es2d,
                    "force_bucket": os.environ.get("DEVO_FORCE_BUCKET"),
                    # kernel-tune env knobs (ADVICE r03: IF/K/BE A/B runs
                    # must be distinguishable from the JSON artifact alone)

@@ -181,6 +181,11 @@ def evaluate_sequence(
                                     seed=trial, engine_cache=engine_cache,
                                     viz_dir=viz_dir)
         m = ate_real(poses, tss, traj_gt, tss_gt, max_diff=max_diff_s)
+        # runtime metric cross-check (reference eval_utils.py:358: evo and
+        # rpg ATE must agree to 1e-5): recompute with the independent
+        # Horn-quaternion alignment and assert
+        from .ate_check import cross_check_ate
+        cross_check_ate(m, poses, tss, traj_gt, tss_gt, max_diff=max_diff_s)
         results.append(m)
         fps_list.append(fps)
         if outdir:

@@ -42,6 +42,10 @@ class Patchifier(nn.Module):
                                    # layout (nets/scorer_s2d.py): exact,
                                    # removes the 128-lane padding of the
                                    # full-res 8/16/32-channel intermediates.
+    encoder_s2d: bool = False      # stage 1 of the fused encoders in
+                                   # space-to-depth(2) layout (exact;
+                                   # fused_encoder.fused_encode_s2d).
+                                   # Requires fused_encoders.
 
     def setup(self):
         self.fnet = BasicEncoder4Evs(output_dim=self.dim_fnet, dim=self.dim,
@@ -67,10 +71,11 @@ class Patchifier(nn.Module):
         n, H, W, _ = voxels.shape
         P = self.patch_size
         if self.fused_encoders and not self.is_initializing():
-            from .fused_encoder import fused_encode
-            fmap, imap = fused_encode(self.variables["params"]["fnet"],
-                                      self.variables["params"]["inet"],
-                                      voxels, dtype=self.dtype)
+            from .fused_encoder import fused_encode, fused_encode_s2d
+            enc = fused_encode_s2d if self.encoder_s2d else fused_encode
+            fmap, imap = enc(self.variables["params"]["fnet"],
+                             self.variables["params"]["inet"],
+                             voxels, dtype=self.dtype)
             fmap = (fmap / 4.0).astype(jnp.float32)
             imap = (imap / 4.0).astype(jnp.float32)
         else:
@@ -169,13 +174,15 @@ class EVONet(nn.Module):
     bins: int = 5                    # 5 voxel bins; 3 for RGB frames (VONet)
     fused_encoders: bool = False     # see Patchifier.fused_encoders
     scorer_s2d: bool = False         # see Patchifier.scorer_s2d
+    encoder_s2d: bool = False        # see Patchifier.encoder_s2d
 
     def setup(self):
         self.patchify = Patchifier(
             patch_size=self.P, dim_inet=self.dim_inet, dim_fnet=self.dim_fnet,
             dim=self.dim, patch_selector=self.patch_selector, name="patchify",
             dtype=self.dtype, bins=self.bins,
-            fused_encoders=self.fused_encoders, scorer_s2d=self.scorer_s2d)
+            fused_encoders=self.fused_encoders, scorer_s2d=self.scorer_s2d,
+            encoder_s2d=self.encoder_s2d)
         self.update = Update(dim=self.dim_inet,
                              corr_dim=2 * 49 * self.P * self.P, name="update",
                              dtype=self.dtype)

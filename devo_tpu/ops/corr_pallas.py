@@ -967,7 +967,13 @@ def corr_level_banded(
 
 def lookup_g(gmap, kk, mask):
     """One-hot MXU lookup of per-edge patch features, padded to 16 pixel
-    lanes: (E, 16, C) bf16."""
+    lanes: (E, 16, C) bf16.
+
+    Probe note (r05): padding the TABLE to 16 pixels before the lookup
+    (so the dot emits the kernel layout directly, deleting the ~0.22 ms
+    pad+relayout-copy of the per-edge result) adds 7 zero pixel-columns
+    to the dot's contraction surface — +78% MXU work (~+0.29 ms at
+    E=10k), a net loss. The post-dot pad stays."""
     from .lookup import lookup
     PP = gmap.shape[1] * gmap.shape[2]
     C = gmap.shape[-1]
@@ -1552,7 +1558,7 @@ def _kernel_banded_mono(nlive_ref, slot_ref, row0a_ref, row0b_ref,  # prefetch
                         outa_ref, outb_ref,        # block b-1 (lagged)
                         win, rbufa, rbufb, sems,
                         *, C: int, PP: int, nblk: int, wra: int, wrb: int,
-                        wi8: bool, step2: bool = False):
+                        wi8: bool, step2: bool = False, adj2: bool = False):
     """Single-dot merged-loop two-level kernel.
 
     The pair/pair2 engine A/B (r04: 47.0 vs 47.6 FPS) showed the kernel is
@@ -1622,13 +1628,21 @@ def _kernel_banded_mono(nlive_ref, slot_ref, row0a_ref, row0b_ref,  # prefetch
             def _():
                 dma_a(q + 1 + IF2P).start()
                 dma_b(q + 1 + IF2P).start()
-            w0 = win[q % K2P]
-            w1 = win[(q + 1) % K2P]
-            if wi8:
-                w0, w1 = w0.astype(jnp.bfloat16), w1.astype(jnp.bfloat16)
+            if adj2 and wi8:
+                # mono4: e (and so q) is even and K2P is even, so the two
+                # edges' ring slots are ADJACENT — read both as one slice
+                # and collapse, skipping mono2's explicit VMEM concat copy
+                # (the measured cause of its -3.2 FPS vs mono, r04)
+                w2 = (win[pl.ds(q % K2P, 2)].astype(jnp.bfloat16)
+                      .reshape(2 * TOT, C))
             else:
-                w0, w1 = w0.reshape(TOT, C), w1.reshape(TOT, C)
-            w2 = jnp.concatenate([w0, w1], axis=0)          # (2*TOT, C)
+                w0 = win[q % K2P]
+                w1 = win[(q + 1) % K2P]
+                if wi8:
+                    w0, w1 = w0.astype(jnp.bfloat16), w1.astype(jnp.bfloat16)
+                else:
+                    w0, w1 = w0.reshape(TOT, C), w1.reshape(TOT, C)
+                w2 = jnp.concatenate([w0, w1], axis=0)      # (2*TOT, C)
             g2 = g_ref[pl.ds(e, 2)].reshape(32, C)          # (32, C)
             R = jax.lax.dot_general(
                 w2, g2, (((1,), (1,)), ((), ())),
@@ -1887,13 +1901,14 @@ def corr_pyramid_pair2(gmap, fa, fb, coords, kk, jj, mask, n_live, hw,
                     pltpu.VMEM((2, wrb, BWIN, 16), jnp.float32)]
                    + [pltpu.SemaphoreType.DMA((K3,))])
         kfn = _kernel_banded_mono3
-    elif variant in ("mono", "mono2"):
+    elif variant in ("mono", "mono2", "mono4"):
         # one stacked window buffer (level a rows first) + one semaphore
         # array (each slot signaled by both levels' copies)
         scratch = ([win_scr(wra + wrb)] + rbuf_scr
                    + [pltpu.SemaphoreType.DMA((K2P,))])
         kfn = functools.partial(_kernel_banded_mono,
-                                step2=(variant == "mono2"))
+                                step2=(variant in ("mono2", "mono4")),
+                                adj2=(variant == "mono4"))
     else:
         scratch = ([win_scr(wra), win_scr(wrb)] + rbuf_scr
                    + [pltpu.SemaphoreType.DMA((K2P,)),
@@ -1967,7 +1982,7 @@ def corr_pyramid_banded(gmap, banded_pyramid, coords, kk, jj, mask, n_live,
         scales = (None,) * len(banded_pyramid)
     if wins is None:
         wins = tuple(level_win_rows(lvl) for lvl in levels)
-    if variant in ("pair", "pair2", "mono", "mono2", "mono3"):
+    if variant in ("pair", "pair2", "mono", "mono2", "mono3", "mono4"):
         assert len(banded_pyramid) == 2, "pair kernel is two-level"
         assert all(fb.ndim == (3 if fb.dtype == jnp.int8 else 4)
                    for fb in banded_pyramid), \

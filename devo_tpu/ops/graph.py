@@ -126,7 +126,10 @@ def fast_segment_softmax_sum(
     one-hot matmul — no XLA scatter, which serializes on TPU.
 
     For sorted_ids=True, masked rows must carry id == num_segments (so they
-    sort past every boundary).
+    sort past every boundary). NB the flag currently selects no separate
+    code path: a cumsum-boundary reduction needs an S-row gather of the
+    cumsum surface, which lowers to a serial per-row loop on TPU and loses
+    to the one-hot matmul at every size measured.
     """
     neg = jnp.asarray(-1e30, weights_logits.dtype)
     logits = jnp.where(mask[:, None], weights_logits, neg)
@@ -145,11 +148,25 @@ def fast_segment_softmax_sum(
     # (the reference runs this whole block under fp16 autocast anyway,
     # devo.py:71-74)
     hp = precision if precision is not None else jax.lax.Precision.HIGHEST
+    # under DEFAULT precision the dot INPUTS go bf16 too (f32 accumulate):
+    # the selector rows are exact in bf16 (0/1) and the engine's mixed-
+    # precision path re-rounds values the reference autocasts to fp16
+    # anyway; f32-in dots at these shapes measured ~0.5 ms/frame (r05)
+    bf = hp == jax.lax.Precision.DEFAULT
 
     def segsum(v):
+        if bf:
+            return jax.lax.dot(oh.astype(jnp.bfloat16),
+                               v.astype(jnp.bfloat16), precision=hp,
+                               preferred_element_type=jnp.float32)
         return jax.lax.dot(oh, v, precision=hp)
 
     def back(a):
+        if bf:
+            return jax.lax.dot_general(
+                oh.astype(jnp.bfloat16), a.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())), precision=hp,
+                preferred_element_type=jnp.float32)
         return jax.lax.dot_general(oh, a, (((0,), (0,)), ((), ())),
                                    precision=hp)
 

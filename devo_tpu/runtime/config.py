@@ -70,7 +70,15 @@ class VOConfig:
                                          #   DMA continuation — engine bench
                                          #   53.8 vs pair 47.0 FPS, r04),
                                          # "mono2" (mono with 2-edge dot
-                                         #   batching),
+                                         #   batching; -3.2 FPS r04 — the
+                                         #   in-kernel window concat copy),
+                                         # "mono4" (mono2 minus the concat:
+                                         #   even-pair ring slots are
+                                         #   adjacent, both windows read as
+                                         #   ONE slice — STILL -3 FPS at
+                                         #   matched cycle phase, r05: the
+                                         #   2-edge dot itself loses, not
+                                         #   just the copy. Probe kept),
                                          # "pair2" (per-level buffers,
                                          #   phase-split ext, cross-block
                                          #   DMA continuation),
@@ -142,6 +150,10 @@ class VOConfig:
                                          #   instead of padding 8/16/32
                                          #   channels — nets/scorer_s2d.py;
                                          #   engine A/B in PERF_NOTES r05)
+    ENCODER_S2D: bool = False            # fused-encoder stage 1 in space-
+                                         #   to-depth(2) layout (exact;
+                                         #   fused_encoder.fused_encode_s2d,
+                                         #   r05 probe — see PERF_NOTES)
     CORR_RING_I8: bool = True            # store the banded corr feature
                                          #   rings as per-frame-scaled int8
                                          #   (halves the kernel's window-DMA

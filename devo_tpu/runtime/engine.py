@@ -916,7 +916,8 @@ class DEVO:
                           dim=cfg.DIM, patch_selector=cfg.PATCH_SELECTOR,
                           dtype=jnp.bfloat16 if cfg.MIXED_PRECISION else jnp.float32,
                           bins=cfg.BINS, fused_encoders=cfg.FUSED_ENCODERS,
-                          scorer_s2d=cfg.SCORER_S2D)
+                          scorer_s2d=cfg.SCORER_S2D,
+                          encoder_s2d=cfg.ENCODER_S2D)
         self.params = params
         # Bucketed edge capacity: the worst-case bound (EDGE_CAP) is ~2-10x
         # the live edge count of typical sequences, and every per-edge op

@@ -26,8 +26,15 @@ def main():
     HT, WD = 480, 640
     kern = os.environ.get("BENCH_CORR_KERNEL", "") or VOConfig.CORR_KERNEL
     wr1 = int(os.environ.get("BENCH_CORR_WR1", "0")) or VOConfig.CORR_WIN_L1
+
+    def _b(name, default):
+        v = os.environ.get(name, "").strip().lower()
+        return default if v == "" else v in ("1", "true", "yes")
+
     cfg = VOConfig(MOTION_PROBE_THRESH=-1.0, CORR_KERNEL=kern,
-                   CORR_WIN_L1=wr1)
+                   CORR_WIN_L1=wr1,
+                   SCORER_S2D=_b("BENCH_SCORER_S2D", VOConfig.SCORER_S2D),
+                   ENCODER_S2D=_b("BENCH_ENCODER_S2D", VOConfig.ENCODER_S2D))
     net = EVONet(P=cfg.P, dim_inet=cfg.DIM_INET, dim_fnet=cfg.DIM_FNET,
                  dim=cfg.DIM, patch_selector=cfg.PATCH_SELECTOR)
     params = net.init(jax.random.PRNGKey(0),

@@ -246,3 +246,50 @@ def test_compute_median_results_even_count():
     assert med_ate == pytest.approx(3.0)
     assert med.ate == pytest.approx(3.0)       # never disagrees with summary
     assert med.mpe == pytest.approx(0.4)       # upper-middle trial's fields
+
+
+def test_horn_cross_check_agrees_with_umeyama():
+    """The independent Horn-quaternion ATE (eval/ate_check.py) must match
+    ate_real's Umeyama-SVD ATE to the runtime assertion tolerance — the
+    reference's evo-vs-rpg agreement check (eval_utils.py:358)."""
+    from devo_tpu.eval.ate import ate_real
+    from devo_tpu.eval.ate_check import ate_horn, cross_check_ate
+
+    rng = np.random.default_rng(7)
+    N = 120
+    tss = np.cumsum(rng.uniform(0.02, 0.05, N))
+    p_gt = np.cumsum(rng.standard_normal((N, 3)) * 0.1, axis=0)
+    q = rng.standard_normal((N, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    gt = np.concatenate([p_gt, q], 1)
+    # distort: similarity transform + noise
+    ang = 0.7
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+    p_est = 1.7 * (R @ p_gt.T).T + np.array([3.0, -1.0, 2.0])
+    p_est += rng.standard_normal((N, 3)) * 0.05
+    est = np.concatenate([p_est, q], 1)
+    tss_est = tss + rng.uniform(-0.005, 0.005, N)
+
+    m = ate_real(est, tss_est, gt, tss, max_diff=0.02)
+    h = ate_horn(est, tss_est, gt, tss, max_diff=0.02)
+    assert np.isfinite(m.ate) and m.ate > 0
+    np.testing.assert_allclose(h, m.ate, rtol=1e-6)
+    # the runtime assertion itself
+    cross_check_ate(m, est, tss_est, gt, tss, max_diff=0.02)
+
+
+def test_horn_cross_check_catches_divergence():
+    from devo_tpu.eval.ate import TrajectoryMetrics
+    from devo_tpu.eval.ate_check import cross_check_ate
+
+    rng = np.random.default_rng(8)
+    N = 50
+    tss = np.arange(N) * 0.05
+    gt = np.concatenate([rng.standard_normal((N, 3)),
+                         np.tile([0, 0, 0, 1.0], (N, 1))], 1)
+    est = np.concatenate([rng.standard_normal((N, 3)),
+                          np.tile([0, 0, 0, 1.0], (N, 1))], 1)
+    bogus = TrajectoryMetrics(ate=1234.5, mpe=0, r_rmse=0, scale=1, n_pairs=N)
+    with pytest.raises(AssertionError, match="cross-check"):
+        cross_check_ate(bogus, est, tss, gt, tss, max_diff=0.1)

@@ -308,7 +308,7 @@ def _i8_pyramid(fmap):
     return tuple(pyr), tuple(scales), deq
 
 
-@pytest.mark.parametrize("variant", ["pair", "pair2", "mono", "mono2", "mono3"])
+@pytest.mark.parametrize("variant", ["pair", "pair2", "mono", "mono2", "mono3", "mono4"])
 @pytest.mark.parametrize("seed", [0, 3])
 def test_pair_i8_matches_reference(seed, variant):
     """The merged two-level kernel vs the gather reference on int8-exact
@@ -333,7 +333,7 @@ def test_pair_i8_matches_reference(seed, variant):
     np.testing.assert_allclose(np.asarray(got), want, atol=atol, rtol=1e-2)
 
 
-@pytest.mark.parametrize("variant", ["pair", "pair2", "mono", "mono2", "mono3"])
+@pytest.mark.parametrize("variant", ["pair", "pair2", "mono", "mono2", "mono3", "mono4"])
 @pytest.mark.parametrize("i8", [False, True], ids=["bf16", "i8"])
 def test_pair_matches_split(i8, variant):
     """pair must agree with the per-level split kernels on the SAME rings
@@ -354,7 +354,7 @@ def test_pair_matches_split(i8, variant):
             gmap, pyr, coords, kk, jj, mask, variant="split", **kw)
         got = corr_pallas.corr_pyramid_banded(
             gmap, pyr, coords, kk, jj, mask, variant=variant, **kw)
-    if i8 and variant in ("pair2", "mono", "mono2", "mono3"):
+    if i8 and variant in ("pair2", "mono", "mono2", "mono3", "mono4"):
         # these variants store a bf16 out surface; on the i8 path the f32
         # dequant-scale product is re-rounded to bf16 (rel <= 2^-8) while
         # split keeps f32 out. Taps reach ~50 (bf16 ulp 0.25) and the
@@ -367,7 +367,7 @@ def test_pair_matches_split(i8, variant):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **tol)
 
 
-@pytest.mark.parametrize("variant", ["pair", "pair2", "mono", "mono2", "mono3"])
+@pytest.mark.parametrize("variant", ["pair", "pair2", "mono", "mono2", "mono3", "mono4"])
 def test_pair_early_exit_blocks(variant):
     """Blocks past n_live skip in the merged kernel; the live prefix must
     stay exact and dead edges zero."""

@@ -66,3 +66,29 @@ def test_patchifier_fused_flag_matches():
                                np.asarray(out0["imap"]), atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out1["gmap"]),
                                np.asarray(out0["gmap"]), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_s2d_matches_fused(dtype):
+    """fused_encode_s2d (stage 1 in space-to-depth(2) layout) must equal
+    fused_encode: the entry/block/exit kernels are sparse rearrangements of
+    the same weights and the pos-grouped instance norm pools the same
+    statistics."""
+    from devo_tpu.nets.fused_encoder import fused_encode_s2d
+
+    fnet, inet = _nets()
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 32, 48, 5)),
+                    jnp.float32)
+    pf = fnet.init(jax.random.PRNGKey(0), x)["params"]
+    pi = inet.init(jax.random.PRNGKey(1), x)["params"]
+
+    want_f, want_i = fused_encode(pf, pi, x, dtype=dtype)
+    got_f, got_i = fused_encode_s2d(pf, pi, x, dtype=dtype)
+
+    tol = 1e-4 if dtype == jnp.float32 else 6e-2
+    np.testing.assert_allclose(np.asarray(got_f, np.float32),
+                               np.asarray(want_f, np.float32),
+                               atol=tol, rtol=tol)
+    np.testing.assert_allclose(np.asarray(got_i, np.float32),
+                               np.asarray(want_i, np.float32),
+                               atol=tol, rtol=tol)
