@@ -69,7 +69,7 @@ def main():
     # count plateaus (ADVICE r03: window 1 otherwise starts below steady
     # load — 7776 vs 9600 live edges — and flatters the overall number),
     # bounded by N_POST_MAX so a pathological config still terminates.
-    N_WARM, N_POST, N_POST_MAX, N_BENCH = 48, 8, 72, 168
+    N_WARM, N_POST, N_POST_MAX, N_BENCH = 48, 8, 72, 336
 
     # the motion-probe gate is a learned behavior (devo.py:531-534); with
     # random weights it rejects every frame and the bench would measure the
@@ -235,12 +235,13 @@ def main():
     # (cold tunnel, host contention, bucket transitions — the round-1
     # driver measured 28.55 where the builder measured 38.15, see
     # PERF_NOTES.md "Measurement rules")
-    # 6 windows: the live-edge cull cycle spans ~3 windows; a 4-window run
-    # whose last window catches the 11616-edge peak reads ~0.6 FPS lower
-    # than one that doesn't (r05: 56.94 vs 56.36 at identical configs).
-    # More windows average over the cycle and the median 'steady' number
-    # sits mid-cycle.
-    WINDOWS = 6
+    # 12 windows: the live-edge cull cycle spans several windows and the
+    # stochastic patch selection makes each config's cycle differ — with 4
+    # windows the phase MIX swung the overall number by more than real
+    # config deltas (r05: 56.94 vs 56.36 on identical configs). 12 windows
+    # ~= 4 cycles: the mix converges and the median 'steady' number sits
+    # mid-cycle.
+    WINDOWS = 12
     per = N_BENCH // WINDOWS  # 28 frames/window
     win_fps, win_qwait, win_caps, win_live, win_disp = [], [], [], [], []
     t_all0 = time.perf_counter()

@@ -86,7 +86,12 @@ def onehot_segment_sum(
     oh = oh.astype(values.dtype)
     if mask is not None:
         oh = oh * mask[None, :].astype(values.dtype)
-    return jax.lax.dot(oh, values, precision=jax.lax.Precision.HIGHEST)
+    # HIGH = bf16x3 passes: the 3-term decomposition reconstructs the full
+    # f32 mantissa of each selected value and accumulates in f32 — same
+    # accuracy class as f32 scatter-add for 0/1 selectors, at HALF the MXU
+    # passes of HIGHEST (bf16x6). Measured 0.27 ms/frame of BA assembly
+    # dots at HIGHEST (profile r05).
+    return jax.lax.dot(oh, values, precision=jax.lax.Precision.HIGH)
 
 
 def sorted_segment_sum(

@@ -5,8 +5,9 @@ while loop at ~0.3-20 us/row — 15360 rows of a (2496, 384) table cost
 ~254 ms. The same lookup as a one-hot matmul costs 0.51 ms: build the
 (E, T) one-hot with an iota compare (fused, no materialized gather), feed
 the MXU. Exactness: each output row is 1.0 * one table row; bf16 operands
-select bf16 values exactly, and f32 tables use HIGHEST precision (bf16x3
-decomposition carries all 24 mantissa bits), verified bit-exact in
+select bf16 values exactly, and f32 tables use HIGH precision (the bf16x3
+decomposition reconstructs all 24 mantissa bits — bit-exact for a 0/1
+selector, at half HIGHEST's passes), verified bit-exact in
 tests/test_lookup.py.
 
 Use for every edge-indexed lookup from a bounded live table (poses,
@@ -51,6 +52,6 @@ def lookup(table: jnp.ndarray, idx: jnp.ndarray, base=0,
     else:
         oh = onehot(idx, size, base, jnp.float32)
         out = jax.lax.dot(oh, flat.astype(jnp.float32),
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=jax.lax.Precision.HIGH)
         out = out.astype(flat.dtype) if flat.dtype != jnp.float32 else out
     return out.reshape((idx.shape[0],) + sub.shape[1:])

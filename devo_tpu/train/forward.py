@@ -13,8 +13,12 @@ random edge drop becomes a mask. Per-step detach (enet.py:315-316) maps to
 stop_gradient. With remat=True (default) the heavy per-step chain
 (reproject -> corr -> update -> BA) is wrapped in jax.checkpoint, so the
 backward pass stores only each step's (Gs, patches, net_state) boundary
-values and recomputes the step activations — the measured full-scale
-memory envelope is in PERF_NOTES (r05). The correlation backward drops a
+values and recomputes the step activations. Measured (XLA
+memory_analysis, scripts/measure_train_memory.py, PERF_NOTES r05): at
+the reference scale (480x640, 15 frames, ppi 80) remat costs ~0.21
+GB/step on top of a ~15.3 GB within-step floor — ~19 GB at 18 steps, so
+one 16 GB v5e needs a ~10-20% smaller crop; without remat the graph is
+larger still (the remote compiler fails outright). The correlation backward drops a
 random 1 - corr_dropout fraction of edges, matching the reference's
 training recipe (correlation.py:18-30, enet.py:204; corr_pyramid_train).
 """
