@@ -245,7 +245,16 @@ def main():
     if prof_open:   # run ended inside the trace window: flush, don't corrupt
         jax.profiler.stop_trace()
         print(f"profile trace written to {prof_dir}")
+    # Exit watchdog: TensorBoard's event-writer thread has been observed to
+    # wedge inside close() after a multi-hour run (r05 refresh: all 2600
+    # steps done, every scalar flushed to disk, process then hung ~50 min
+    # in cleanup). Everything is already saved at this point — if close()
+    # doesn't return in 60 s, exit decisively rather than hang the driver.
+    wd = threading.Timer(60.0, lambda: os._exit(0))
+    wd.daemon = True
+    wd.start()
     logger.close()  # flush tail metrics (SummaryWriter flushes every 120 s)
+    wd.cancel()
 
 
 if __name__ == "__main__":
