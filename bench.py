@@ -93,22 +93,24 @@ def main():
         sys.exit(f"BENCH_CORR_KERNEL={kern!r}: expected "
                  "split/split2/pair/pair2/mono/mono2/mono3/mono4/g8c")
     wr1 = int(os.environ.get("BENCH_CORR_WR1", "0")) or VOConfig.CORR_WIN_L1
-    # Workload + de-lottery (VERDICT r04 item 3). Under random weights the
-    # synthetic stream's flow magnitude is always below KEYFRAME_THRESH, so
-    # every frame is culled (n pinned at 8, live edges cycling 7776->11616
-    # with cull phase) — which bucket the async sampler grabbed at the
-    # cycle peak swung the headline +-3.5 FPS (the "bucket lottery",
-    # PERF_NOTES r04). Two fixes, measured r05:
-    #   * the headline keeps the cull regime (real event streams cull
-    #     OFTEN: inter-voxel flow is small against the 15-25 px
-    #     KEYFRAME_THRESH) but pins DEVO_FORCE_BUCKET=12288 below, making
-    #     the executable and the load cycle deterministic;
-    #   * BENCH_KEYFRAME_THRESH=-1 selects the no-cull MAX-LOAD regime
-    #     (n grows, REMOVAL_WINDOW purge active): live edges saturate at
-    #     ~41k and FPS drops ~linearly with the bucket (15.83 FPS at
-    #     40960, window spread 0.002 — PERF_NOTES r05). That regime
-    #     represents sustained fast motion; report it alongside, not as
-    #     the headline.
+    # Workload + de-lottery (VERDICT r04 item 3; re-characterized r05 with
+    # 12 timed windows). Under random weights every frame is culled
+    # (flow magnitude ~0 < KEYFRAME_THRESH, n pinned at 8); each cull
+    # removes one frame's ~2400 edges while the append adds ~2496, so the
+    # live count CREEPS +~96/frame without bound — r04's "7776->11616
+    # cull cycle" was this treadmill's transient, and which bucket the
+    # async sampler grabbed during it was the "bucket lottery". The pinned
+    # DEVO_FORCE_BUCKET below therefore DEFINES the operating point: the
+    # count climbs to the cap (~4 windows) and equilibrates there under
+    # append-shedding. 12288 ~= 12k live edges, the mid-band of real
+    # sequence loads (real runs mix culls with growing n + REMOVAL_WINDOW
+    # purge; sustained fast motion reaches ~40k).
+    #   * BENCH_KEYFRAME_THRESH=-1 selects that no-cull MAX-LOAD regime:
+    #     live edges saturate at ~41k, FPS scales ~1/bucket (15.83 FPS at
+    #     40960, window spread 0.002 — PERF_NOTES r05).
+    #   * the early windows (pre-saturation) read 57-64 FPS; the honest
+    #     steady number is the SATURATED tail, which the 12-window median
+    #     approaches. All windows are in the JSON for attribution.
     kf_thresh = float(os.environ.get("BENCH_KEYFRAME_THRESH",
                                      str(VOConfig.KEYFRAME_THRESH)))
     if kf_thresh >= 0 and "DEVO_FORCE_BUCKET" not in os.environ:
@@ -274,10 +276,11 @@ def main():
     dt = time.perf_counter() - t_all0
 
     fps = WINDOWS * per / dt
-    # median, not max: the uploader pre-fills its queue during
-    # wait_buckets(), so the first window often runs transfer-wait-free and
-    # would flatter a max()-based "steady" number
-    steady = float(np.median(win_fps))
+    # steady = median of the LAST half of the windows: the synthetic
+    # workload's live-edge treadmill reaches its pinned-cap equilibrium
+    # after ~4-6 windows (see the regime comment above); the early
+    # transient windows read 57-64 FPS and would flatter a global median
+    steady = float(np.median(win_fps[WINDOWS // 2:]))
     spread = (max(win_fps) - min(win_fps)) / max(win_fps)
     print(json.dumps({
         "metric": "event_vo_fps_640x480",

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import queue
 import threading
 
@@ -245,16 +246,19 @@ def main():
     if prof_open:   # run ended inside the trace window: flush, don't corrupt
         jax.profiler.stop_trace()
         print(f"profile trace written to {prof_dir}")
-    # Exit watchdog: TensorBoard's event-writer thread has been observed to
-    # wedge inside close() after a multi-hour run (r05 refresh: all 2600
-    # steps done, every scalar flushed to disk, process then hung ~50 min
-    # in cleanup). Everything is already saved at this point — if close()
-    # doesn't return in 60 s, exit decisively rather than hang the driver.
+    # Exit watchdog + decisive exit: after long runs the process has been
+    # observed to hang in cleanup even though every step, flush, and
+    # checkpoint completed (r05 refresh + both resume legs; all threads
+    # futex-parked — a wedged non-daemon writer thread joined at
+    # interpreter shutdown). Everything is on disk at this point: give
+    # close() 60 s, then exit without interpreter teardown either way.
     wd = threading.Timer(60.0, lambda: os._exit(0))
     wd.daemon = True
     wd.start()
     logger.close()  # flush tail metrics (SummaryWriter flushes every 120 s)
-    wd.cancel()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":
