@@ -84,9 +84,14 @@ def test_forward_and_loss_finite():
 
 @pytest.mark.slow
 def test_train_step_improves_and_shards():
+    # remat=False: these 8-device train-step graphs are the suite's
+    # biggest compiles, and the jaxlib persistent-cache serializer has a
+    # known segfault on fresh very-large executables (conftest note; it
+    # struck the remat variant in r05). The remat path is covered by
+    # test_remat_grads_match below, the train smoke, and the driver dryrun.
     tr = Trainer(net=EVONet(dim_inet=64, dim_fnet=32, dim=8),
                  total_steps=100, steps_unrolled=STEPS, ppi=PPI,
-                 grow_after=GROW)
+                 grow_after=GROW, remat=False)
     assert tr.mesh.devices.size == 8  # virtual CPU mesh from conftest
 
     voxels, poses, disps, intr = make_inputs()
@@ -113,9 +118,14 @@ def test_checkpoint_resume_matches_uninterrupted(tmp_path):
     """Save after step 1, restore, take step 2: the update must equal the
     uninterrupted run's (reference saves model+optimizer+scheduler+steps,
     train.py:271-280 — dropping opt_state would reset the AdamW moments)."""
+    # remat=False: these 8-device train-step graphs are the suite's
+    # biggest compiles, and the jaxlib persistent-cache serializer has a
+    # known segfault on fresh very-large executables (conftest note; it
+    # struck the remat variant in r05). The remat path is covered by
+    # test_remat_grads_match below, the train smoke, and the driver dryrun.
     tr = Trainer(net=EVONet(dim_inet=64, dim_fnet=32, dim=8),
                  total_steps=100, steps_unrolled=STEPS, ppi=PPI,
-                 grow_after=GROW)
+                 grow_after=GROW, remat=False)
     voxels, poses, disps, intr = make_inputs()
     B = 8
     batch = dict(
@@ -141,3 +151,27 @@ def test_checkpoint_resume_matches_uninterrupted(tmp_path):
     p2b, _, _ = step(ck["params"], ck["opt_state"], batch,
                      jax.random.PRNGKey(2), 1)
     jax.tree.map(np.testing.assert_array_equal, p2a, p2b)
+
+
+def test_remat_grads_match():
+    """jax.checkpoint around each unrolled step must not change gradients
+    (it only changes what is stored vs recomputed)."""
+    from devo_tpu.train.forward import evonet_forward
+    from devo_tpu.train.loss import total_loss
+
+    net = EVONet(dim_inet=32, dim_fnet=16, dim=8, patch_selector="scorer")
+    voxels, poses, disps, intr = make_inputs()
+    params = net.init(jax.random.PRNGKey(0), voxels[:1],
+                      jax.random.PRNGKey(1))["params"]
+
+    def loss(params, remat):
+        traj = evonet_forward(net, params, voxels, poses, disps, intr,
+                              jax.random.PRNGKey(2), steps=3, ppi=PPI,
+                              grow_after=2, corr_dropout=0.5, remat=remat)
+        return total_loss(traj, P=3)["loss"]
+
+    g_on = jax.grad(lambda p: loss(p, True))(params)
+    g_off = jax.grad(lambda p: loss(p, False))(params)
+    for a, b in zip(jax.tree.leaves(g_on), jax.tree.leaves(g_off)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
