@@ -69,7 +69,7 @@ def main():
     # count plateaus (ADVICE r03: window 1 otherwise starts below steady
     # load — 7776 vs 9600 live edges — and flatters the overall number),
     # bounded by N_POST_MAX so a pathological config still terminates.
-    N_WARM, N_POST, N_POST_MAX, N_BENCH = 48, 8, 72, 336
+    N_WARM, N_POST, N_POST_MAX, N_BENCH = 48, 8, 336, 336
 
     # the motion-probe gate is a learned behavior (devo.py:531-534); with
     # random weights it rejects every frame and the bench would measure the
@@ -215,17 +215,24 @@ def main():
     used = N_POST
     cur = prev = int(slam.state.n_edges)
     calm = 0
-    while used + 4 <= N_POST_MAX:
-        for _ in range(4):
+    force_cap = os.environ.get("DEVO_FORCE_BUCKET")
+    target = int(force_cap) if force_cap else None
+    while used + 8 <= N_POST_MAX:
+        for _ in range(8):
             i, vox = q.get()
             slam(i / 30.0, vox, intr)
-        used += 4
+        used += 8
         jax.block_until_ready(slam.state.poses)
         cur = int(slam.state.n_edges)
-        # append/removal cycles make growth bursty: a single low-growth
-        # probe can be a removal trough (r04: gate fired at 7776 edges,
-        # window 1 then grew to the 9600 steady state) — require TWO
-        # consecutive calm probes
+        if target is not None:
+            # pinned bucket: the live-edge treadmill creeps to the cap and
+            # equilibrates there (r05) — time ONLY the saturated steady
+            # state so every window measures the same, honest load
+            if cur >= target - 128:
+                break
+            continue
+        # unpinned (max-load regime): append/removal makes growth bursty;
+        # require TWO consecutive calm probes
         calm = calm + 1 if cur - prev < 64 else 0
         if calm >= 2:
             break
@@ -276,11 +283,10 @@ def main():
     dt = time.perf_counter() - t_all0
 
     fps = WINDOWS * per / dt
-    # steady = median of the LAST half of the windows: the synthetic
-    # workload's live-edge treadmill reaches its pinned-cap equilibrium
-    # after ~4-6 windows (see the regime comment above); the early
-    # transient windows read 57-64 FPS and would flatter a global median
-    steady = float(np.median(win_fps[WINDOWS // 2:]))
+    # the warm loop above runs INTO the pinned-cap equilibrium before
+    # timing, so every window measures the saturated steady state; the
+    # median is a plain robust center (transient windows no longer exist)
+    steady = float(np.median(win_fps))
     spread = (max(win_fps) - min(win_fps)) / max(win_fps)
     print(json.dumps({
         "metric": "event_vo_fps_640x480",
