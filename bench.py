@@ -253,7 +253,7 @@ def main():
     WINDOWS = 12
     per = N_BENCH // WINDOWS  # 28 frames/window
     win_fps, win_qwait, win_caps, win_live, win_disp = [], [], [], [], []
-    t_all0 = time.perf_counter()
+    win_dt = []
     for w in range(WINDOWS):
         t0 = time.perf_counter()
         qwait = 0.0
@@ -271,7 +271,8 @@ def main():
             disp += time.perf_counter() - td
             caps.add(slam.state.ii.shape[0])
         jax.block_until_ready(slam.state.poses)
-        win_fps.append(per / (time.perf_counter() - t0))
+        win_dt.append(time.perf_counter() - t0)
+        win_fps.append(per / win_dt[-1])
         win_qwait.append(qwait)
         win_disp.append(disp)
         win_caps.append(sorted(caps))
@@ -280,7 +281,10 @@ def main():
         # would bias; it lands AFTER t0 of nothing — acceptable: it charges
         # the NEXT window ~31 ms, noted in the JSON for attribution)
         win_live.append(int(slam.state.n_edges))
-    dt = time.perf_counter() - t_all0
+    # sum of window durations only: the per-boundary diagnostic live-edge
+    # read costs a flat ~24-31 ms tunnel round-trip OUTSIDE the windows
+    # and was silently charging the overall number ~0.3 s/run (r05)
+    dt = sum(win_dt)
 
     fps = WINDOWS * per / dt
     # the warm loop above runs INTO the pinned-cap equilibrium before
